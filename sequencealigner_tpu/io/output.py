@@ -1,0 +1,87 @@
+"""Result matrix store: full symmetric or packed-triangular, with disk spill.
+
+Parity with the reference output subsystem (/root/reference/src/io/output.c):
+full N x N when it fits in 3/4 of available RAM, else packed triangular
+(alignments(n) = n(n-1)/2 entries at index alignments(j)+i for pair i<j,
+util/macros.h:13, output.c:35-41, 68-84); a temp-file-backed array when even
+that exceeds RAM (disk spill, not checkpointing).  The reference also gates
+"full" on GPU memory (cuda_memory) — unnecessary here: scores stream back from
+the TPU per block, the device never holds the N^2 matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import system, ui
+
+
+def alignments(n: int) -> int:
+    """n(n-1)/2, the linear pair-space size (util/macros.h:13)."""
+    return n * (n - 1) // 2
+
+
+class OutputStore:
+    def __init__(self, dim: int, *, triangular: bool, spill: bool):
+        self.dim = dim
+        self.triangular = triangular
+        self.spill = spill
+        n_elems = alignments(dim) if triangular else dim * dim
+        self.matrix = system.alloc_array(n_elems, np.int32, spill)
+
+    @classmethod
+    def plan(cls, dim: int, *, force_triangular: bool = False) -> "OutputStore":
+        """Mode decision of output_load (output.c:35-56)."""
+        avail = system.available_memory()
+        full_bytes = dim * dim * 4
+        triangular = force_triangular or full_bytes > avail * 3 // 4
+        bytes_needed = alignments(dim) * 4 if triangular else full_bytes
+        spill = bytes_needed > avail * 3 // 4
+        ui.pinfo("Similarity Matrix dimensions: %d x %d", dim, dim)
+        if triangular:
+            ui.pinfo("Using triangular matrix instead of full matrix")
+        usage, unit = bytes_needed / (1 << 20), "MiB"
+        if bytes_needed > (1 << 30) // 100:
+            usage, unit = bytes_needed / (1 << 30), "GiB"
+        ui.pinfo("Similarity Matrix size: %.2f %s", usage, unit)
+        if spill:
+            ui.pinfom("Similarity Matrix size exceeds memory limits")
+            ui.pinfol("Creating temporary file storage: %.2f %s", usage, unit)
+        return cls(dim, triangular=triangular, spill=spill)
+
+    def fill_pairs(self, i: np.ndarray, j: np.ndarray, scores: np.ndarray) -> None:
+        """Scatter a block of pair scores; i < j elementwise (the vectorized
+        equivalent of output_fill, output.c:68-84)."""
+        i = np.asarray(i, dtype=np.int64)
+        j = np.asarray(j, dtype=np.int64)
+        s = np.asarray(scores, dtype=np.int32)
+        if self.triangular:
+            self.matrix[j * (j - 1) // 2 + i] = s
+        else:
+            self.matrix[i * self.dim + j] = s
+            self.matrix[j * self.dim + i] = s
+
+    def get_pair(self, i: int, j: int) -> int:
+        if i == j:
+            return 0
+        if i > j:
+            i, j = j, i
+        if self.triangular:
+            return int(self.matrix[alignments(j) + i])
+        return int(self.matrix[i * self.dim + j])
+
+    def row(self, r: int) -> np.ndarray:
+        """Full row r (reconstructed from packed storage if triangular) —
+        the per-row conversion of hdf5.c:148-163."""
+        if not self.triangular:
+            return np.asarray(self.matrix[r * self.dim : (r + 1) * self.dim])
+        out = np.zeros(self.dim, dtype=np.int32)
+        if r > 0:  # pairs (i<r): packed at alignments(r)+i
+            out[:r] = self.matrix[alignments(r) : alignments(r) + r]
+        if r < self.dim - 1:  # pairs (r<j): packed at alignments(j)+r
+            js = np.arange(r + 1, self.dim, dtype=np.int64)
+            out[r + 1 :] = self.matrix[js * (js - 1) // 2 + r]
+        return out
+
+    def rows(self, start: int, end: int) -> np.ndarray:
+        return np.stack([self.row(r) for r in range(start, end)])

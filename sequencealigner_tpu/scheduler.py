@@ -1,0 +1,194 @@
+"""Pair-space scheduler: linear pair index, length buckets, lazy block stream.
+
+The reference enumerates the N(N-1)/2 pair space linearly and maps ids to
+(i, j) with a triangular-number bisection (d_find_j,
+/root/reference/src/bio/kernels.cu:17-30; packed index alignments(j)+i,
+util/macros.h:13).  We keep that bijection for storage, but *schedule* pairs
+by length bucket so each compiled TPU kernel shape runs densely padded blocks:
+
+- sequences are sorted by length; each bucket is a contiguous range of the
+  sorted order, padded to a quantized edge length
+- a bucket-combo (a <= b) owns the rectangle (triangle when a == b) of sorted
+  pair space {i in bucket a, j in bucket b}; blocks of B pairs are generated
+  lazily by arithmetic, so nothing O(N^2) is ever materialized
+- within a pair, the LONGER sequence is the DP column dimension (Lc) and the
+  shorter the row/state dimension (Lk <= Lc), shrinking the wavefront state
+  (scores are symmetric, verified in tests)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+
+def pair_count(n: int) -> int:
+    return n * (n - 1) // 2
+
+
+def pair_to_linear(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """(i < j) -> linear id = alignments(j) + i."""
+    j = j.astype(np.int64)
+    return j * (j - 1) // 2 + i
+
+
+def linear_to_pair(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse bijection (the vectorized d_find_j)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    # j = floor((1 + sqrt(1 + 8 id)) / 2), with integer correction for fp error.
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * ids.astype(np.float64))) / 2.0).astype(np.int64)
+    j = np.where(j * (j - 1) // 2 > ids, j - 1, j)
+    j = np.where((j + 1) * j // 2 <= ids, j + 1, j)
+    i = ids - j * (j - 1) // 2
+    return i, j
+
+
+DEFAULT_EDGES = (
+    16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+    1024, 1536, 2048, 3072, 4096, 6144, 8192,
+)
+
+#: Target DP cells per device per block; B is derived from this.
+TARGET_CELLS = 1 << 24
+B_MIN, B_MAX = 8, 4096
+
+
+def block_width(Lc: int, Lk: int, target_cells: int = TARGET_CELLS) -> int:
+    b = target_cells // (Lc * Lk)
+    b = 1 << max(int(b).bit_length() - 1, 0)  # round down to a power of two
+    return max(B_MIN, min(B_MAX, b))
+
+
+def bucket_edges(max_len: int, edges=DEFAULT_EDGES) -> list[int]:
+    out = [e for e in edges if e < max_len]
+    grow = list(edges)
+    while grow[-1] < max_len:  # extend by ~1.5x for beyond-table lengths
+        grow.append(grow[-1] + grow[-1] // 2)
+    out.append(next(x for x in grow if x >= max_len))
+    return sorted(set(out))
+
+
+@dataclasses.dataclass
+class Bucket:
+    edge: int  # padded length
+    start: int  # range [start, end) in the sorted order
+    end: int
+
+    @property
+    def count(self) -> int:
+        return self.end - self.start
+
+
+@dataclasses.dataclass
+class Block:
+    """One kernel invocation's worth of pairs (padded to width B)."""
+
+    Lc: int
+    Lk: int
+    bucket_c: int  # bucket index of the column (longer) sequences
+    bucket_k: int
+    rows_c: np.ndarray  # (B,) int32 positions within bucket_c's device array
+    rows_k: np.ndarray  # (B,) int32
+    orig_i: np.ndarray  # (B,) int64 original indices, i < j
+    orig_j: np.ndarray
+    l1: np.ndarray  # (B,) int32 true lengths (columns)
+    l2: np.ndarray
+    valid: np.ndarray  # (B,) bool; padding entries are False
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+    @property
+    def cells(self) -> int:
+        return int((self.l1.astype(np.int64) * self.l2)[self.valid].sum())
+
+
+@dataclasses.dataclass
+class Schedule:
+    order: np.ndarray  # sorted-by-length permutation: order[s] = original index
+    buckets: list[Bucket]
+    lengths_sorted: np.ndarray
+
+    @classmethod
+    def build(cls, lengths: np.ndarray, edges=DEFAULT_EDGES) -> "Schedule":
+        lengths = np.asarray(lengths, dtype=np.int32)
+        order = np.argsort(lengths, kind="stable")
+        ls = lengths[order]
+        edge_list = bucket_edges(int(ls[-1]), edges)
+        buckets = []
+        start = 0
+        for e in edge_list:
+            end = int(np.searchsorted(ls, e, side="right"))
+            if end > start:
+                buckets.append(Bucket(edge=e, start=start, end=end))
+                start = end
+        return cls(order=order, buckets=buckets, lengths_sorted=ls)
+
+    def combos(self) -> list[tuple[int, int]]:
+        """(k_bucket, c_bucket) combos with k <= c, in ascending-cost order."""
+        nb = len(self.buckets)
+        return [(a, b) for b in range(nb) for a in range(b + 1)]
+
+    def combo_pair_count(self, a: int, b: int) -> int:
+        if a == b:
+            return pair_count(self.buckets[a].count)
+        return self.buckets[a].count * self.buckets[b].count
+
+    def total_pairs(self) -> int:
+        n = len(self.order)
+        return pair_count(n)
+
+    def total_cells(self) -> int:
+        ls = self.lengths_sorted.astype(np.int64)
+        s1, s2 = ls.sum(), (ls * ls).sum()
+        return int((s1 * s1 - s2) // 2)
+
+    def blocks(
+        self, a: int, b: int, width: int | None = None, target_cells: int = TARGET_CELLS
+    ) -> Iterator[Block]:
+        """Lazy blocks for combo (a <= b).  Pairs are (i_sorted from bucket a,
+        j_sorted from bucket b); within-bucket (a == b) uses the triangle."""
+        ba, bb = self.buckets[a], self.buckets[b]
+        Lk, Lc = ba.edge, bb.edge
+        B = width or block_width(Lc, Lk, target_cells)
+        npairs = self.combo_pair_count(a, b)
+
+        for blk0 in range(0, npairs, B):
+            take = min(B, npairs - blk0)
+            lin = np.arange(blk0, blk0 + take, dtype=np.int64)
+            if a == b:
+                li, lj = linear_to_pair(lin)  # local triangle coords
+                rk = li
+                rc = lj
+            else:
+                rk = lin % ba.count  # local row in bucket a
+                rc = lin // ba.count  # local row in bucket b
+            # pad to B with dummy pair (0, 0) of the combo
+            pad = B - take
+            if pad:
+                rk = np.concatenate([rk, np.zeros(pad, np.int64)])
+                rc = np.concatenate([rc, np.zeros(pad, np.int64)])
+            valid = np.arange(B) < take
+
+            sk = ba.start + rk  # sorted-order indices
+            sc = bb.start + rc
+            ok = self.order[sk]
+            oc = self.order[sc]
+            oi = np.minimum(ok, oc)
+            oj = np.maximum(ok, oc)
+            yield Block(
+                Lc=Lc,
+                Lk=Lk,
+                bucket_c=b,
+                bucket_k=a,
+                rows_c=rc.astype(np.int32),
+                rows_k=rk.astype(np.int32),
+                orig_i=oi.astype(np.int64),
+                orig_j=oj.astype(np.int64),
+                l1=self.lengths_sorted[sc].astype(np.int32),
+                l2=self.lengths_sorted[sk].astype(np.int32),
+                valid=valid,
+            )

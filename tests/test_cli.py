@@ -1,0 +1,182 @@
+"""CLI end-to-end and flag-surface tests (reference README.md:153-180 and the
+relations declared in src/bio/align.c, io/output.c, io/format/hdf5.c)."""
+
+import numpy as np
+import pytest
+
+from sequencealigner_tpu import cli
+from sequencealigner_tpu.ops import oracle
+from sequencealigner_tpu import matrices
+
+FASTA = b">s1\nARNDCQ\n>s2\nARNDCC\n>s3\nWWWWWW\n"
+
+
+@pytest.fixture()
+def fasta_file(tmp_path):
+    p = tmp_path / "in.fasta"
+    p.write_bytes(FASTA)
+    return p
+
+
+def run_cli(*args):
+    return cli.run(list(args))
+
+
+class TestFlags:
+    def test_help(self, capsys):
+        assert run_cli("-h") == 0
+        out = capsys.readouterr().out
+        for flag in ("--input", "--output", "--matrix", "--align", "--gap-penalty",
+                     "--gap-open", "--gap-extend", "--list-matrices", "--filter",
+                     "--compression", "--benchmark", "--threads", "--no-device",
+                     "--no-write", "--no-progress", "--no-detail",
+                     "--force-proceed", "--quiet", "--verbose", "--help"):
+            assert flag in out, flag
+
+    def test_list_matrices(self, capsys):
+        assert run_cli("-l") == 0
+        out = capsys.readouterr().out
+        assert "Amino Matrices (65):" in out and "nuc44" in out
+
+    def test_missing_required(self, capsys, fasta_file):
+        assert run_cli("-i", str(fasta_file)) == 1
+        assert "Missing required option" in capsys.readouterr().err
+
+    def test_gap_conflicts(self, capsys, fasta_file, tmp_path):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "nw", "-p", "4", "-s", "10", "-F")
+        assert rc == 1
+        assert "conflicts" in capsys.readouterr().err
+
+    def test_gap_pen_on_affine_method(self, capsys, fasta_file, tmp_path):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "sw", "-p", "4", "-F")
+        assert rc == 1
+        assert "Gap penalty cannot be set for non-linear methods" in capsys.readouterr().err
+
+    def test_affine_on_linear_method(self, capsys, fasta_file, tmp_path):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "nw", "-s", "10", "-e", "1", "-F")
+        assert rc == 1
+        assert "Affine gaps cannot be set" in capsys.readouterr().err
+
+    def test_unknown_matrix(self, capsys, fasta_file, tmp_path):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "nosuch", "-a", "nw", "-p", "4", "-F")
+        assert rc == 1
+        assert "Invalid substitution matrix name" in capsys.readouterr().err
+
+    def test_negative_gap_rejected(self, capsys, fasta_file, tmp_path):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "nw", "-p", "-4", "-F")
+        assert rc == 1
+        assert "Gap values must be positive integers" in capsys.readouterr().err
+
+    def test_compression_depends_on_output(self, capsys, fasta_file):
+        rc = run_cli("-i", str(fasta_file), "-m", "blosum62", "-a", "nw",
+                     "-p", "4", "-z", "6", "-W", "-F")
+        assert rc == 1
+        assert "requires" in capsys.readouterr().err
+
+    def test_input_not_found(self, capsys, tmp_path):
+        rc = run_cli("-i", str(tmp_path / "nope.fasta"), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "nw", "-p", "4", "-F")
+        assert rc == 1
+        assert "File not found" in capsys.readouterr().err
+
+    def test_no_write_skips_output_requirement(self, fasta_file):
+        assert run_cli("-i", str(fasta_file), "-m", "blosum62", "-a", "nw",
+                       "-p", "4", "-W", "-F", "-Q") == 0
+
+    def test_existing_output_force_deletes(self, fasta_file, tmp_path):
+        out = tmp_path / "o.h5"
+        out.write_bytes(b"junk")
+        assert run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
+                       "-a", "nw", "-p", "4", "-F", "-Q") == 0
+        import h5py
+
+        with h5py.File(out) as f:
+            assert "/similarity_matrix" in f
+
+
+class TestEndToEnd:
+    def _scores(self, path):
+        import h5py
+
+        with h5py.File(path) as f:
+            return f["/similarity_matrix"][...], list(f["/sequences"].asstr())
+
+    def test_nw_end_to_end(self, fasta_file, tmp_path):
+        out = tmp_path / "out.h5"
+        rc = run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
+                     "-a", "nw", "-p", "4", "-F", "-Q")
+        assert rc == 0
+        m = matrices.get("blosum62")
+        mat, seqs = self._scores(out)
+        assert seqs == ["ARNDCQ", "ARNDCC", "WWWWWW"]
+        enc = lambda s: m.lut[np.frombuffer(s.encode(), np.uint8)]
+        for i in range(3):
+            for j in range(3):
+                want = 0 if i == j else oracle.nw_linear(
+                    enc(seqs[i]), enc(seqs[j]), m.matrix, -4
+                )
+                assert mat[i, j] == want
+
+    def test_sw_affine_end_to_end(self, fasta_file, tmp_path):
+        out = tmp_path / "out.h5"
+        rc = run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
+                     "-a", "sw", "-s", "10", "-e", "1", "-F", "-Q")
+        assert rc == 0
+        m = matrices.get("blosum62")
+        mat, seqs = self._scores(out)
+        enc = lambda s: m.lut[np.frombuffer(s.encode(), np.uint8)]
+        assert mat[0, 1] == oracle.sw_affine(enc(seqs[0]), enc(seqs[1]), m.matrix, -10, -1)
+
+    def test_ga_equal_gaps_switches_to_nw(self, fasta_file, tmp_path, capsys):
+        # -F auto-answers the Yn prompt, switching GA(open==extend) to NW.
+        out = tmp_path / "out.h5"
+        rc = run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
+                     "-a", "ga", "-s", "3", "-e", "3", "-F")
+        assert rc == 0
+        assert "Needleman-Wunsch" in capsys.readouterr().out
+        m = matrices.get("blosum62")
+        mat, seqs = self._scores(out)
+        enc = lambda s: m.lut[np.frombuffer(s.encode(), np.uint8)]
+        assert mat[0, 1] == oracle.nw_linear(enc(seqs[0]), enc(seqs[1]), m.matrix, -3)
+
+    def test_csv_with_filter_and_benchmark(self, tmp_path, capsys):
+        p = tmp_path / "in.csv"
+        p.write_bytes(b"id,sequence\n1,ARNDCQ\n2,ARNDCQ\n3,WWWWWW\n")
+        out = tmp_path / "out.h5"
+        rc = run_cli("-i", str(p), "-o", str(out), "-m", "blosum62",
+                     "-a", "ga", "-s", "10", "-e", "1", "-f", "0.9", "-B", "-F")
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "Filtered out 1 sequences" in txt
+        assert "Alignments per second" in txt
+        _, seqs = self._scores(out)
+        assert seqs == ["ARNDCQ", "WWWWWW"]  # duplicate dropped
+
+    def test_dna_matrix_end_to_end(self, tmp_path):
+        p = tmp_path / "in.fasta"
+        p.write_bytes(b">a\nACGTACGT\n>b\nACGTTGCA\n")
+        out = tmp_path / "out.h5"
+        rc = run_cli("-i", str(p), "-o", str(out), "-m", "nuc44",
+                     "-a", "nw", "-p", "2", "-F", "-Q")
+        assert rc == 0
+        m = matrices.get("nuc44")
+        mat, seqs = self._scores(out)
+        enc = lambda s: m.lut[np.frombuffer(s.encode(), np.uint8)]
+        assert mat[0, 1] == oracle.nw_linear(enc(seqs[0]), enc(seqs[1]), m.matrix, -2)
+
+    def test_quiet_mode_silent(self, fasta_file, tmp_path, capsys):
+        rc = run_cli("-i", str(fasta_file), "-o", str(tmp_path / "o.h5"),
+                     "-m", "blosum62", "-a", "nw", "-p", "4", "-F", "-Q", "-P")
+        assert rc == 0
+        assert capsys.readouterr().out == ""
+
+    def test_cpu_fallback_flag(self, fasta_file, tmp_path):
+        out = tmp_path / "o.h5"
+        rc = run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
+                     "-a", "nw", "-p", "4", "-C", "-F", "-Q")
+        assert rc == 0

@@ -1,0 +1,154 @@
+"""End-to-end engine tests: all-vs-all scores vs the NumPy oracle, full vs
+triangular stores, multi-device sharding on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from sequencealigner_tpu import matrices
+from sequencealigner_tpu.engine import Engine, make_mesh
+from sequencealigner_tpu.filter import filter_sequences
+from sequencealigner_tpu.io.input import SequenceSet
+from sequencealigner_tpu.io.output import OutputStore
+from sequencealigner_tpu.ops import oracle
+
+M = matrices.get("blosum62")
+
+
+def make_set(rng, n, lmin=1, lmax=40, alphabet=b"ARNDCQEGHILKMFPSTWYV"):
+    seqs = []
+    for _ in range(n):
+        ln = int(rng.integers(lmin, lmax + 1))
+        chars = rng.choice(list(alphabet), ln).astype(np.uint8)
+        seqs.append(chars)
+    return SequenceSet.from_list(seqs, M.lut)
+
+
+def oracle_matrix(ss, algo, gaps):
+    n = ss.num
+    out = np.zeros((n, n), dtype=np.int32)
+    kw = {"gap": gaps[0], "opn": gaps[1], "ext": gaps[2]}
+    idx = [M.lut[ss.data[ss.offsets[i] : ss.offsets[i + 1]]] for i in range(n)]
+    for j in range(1, n):
+        for i in range(j):
+            s = oracle.align_score(algo, idx[j], idx[i], M.matrix, **kw)
+            out[i, j] = out[j, i] = s
+    return out
+
+
+@pytest.mark.parametrize("algo,gaps", [("nw", (-4, 0, 0)), ("ga", (0, -10, -1)), ("sw", (0, -10, -1))])
+def test_engine_matches_oracle(algo, gaps):
+    rng = np.random.default_rng(42)
+    ss = make_set(rng, 17)
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    eng = Engine(algo, M.matrix, gaps, target_cells=1 << 14)
+    stats = eng.align_all(ss, store, progress=False)
+    want = oracle_matrix(ss, algo, gaps)
+    got = np.asarray(store.matrix).reshape(ss.num, ss.num)
+    np.testing.assert_array_equal(got, want)
+    assert stats.pairs == ss.num * (ss.num - 1) // 2
+    ls = ss.lengths.astype(np.int64)
+    assert stats.cells == ((ls.sum() ** 2 - (ls * ls).sum()) // 2)
+
+
+def test_engine_triangular_store_equivalent():
+    rng = np.random.default_rng(3)
+    ss = make_set(rng, 11)
+    full = OutputStore(ss.num, triangular=False, spill=False)
+    tri = OutputStore(ss.num, triangular=True, spill=False)
+    eng = Engine("nw", M.matrix, (-5, 0, 0), target_cells=1 << 14)
+    eng.align_all(ss, full, progress=False)
+    eng.align_all(ss, tri, progress=False)
+    for r in range(ss.num):
+        np.testing.assert_array_equal(full.row(r), tri.row(r))
+
+
+def test_engine_multi_device_mesh_matches_single():
+    rng = np.random.default_rng(7)
+    ss = make_set(rng, 23)
+    mesh8 = make_mesh("cpu", 8)
+    assert mesh8.devices.size == 8
+    s1 = OutputStore(ss.num, triangular=False, spill=False)
+    s8 = OutputStore(ss.num, triangular=False, spill=False)
+    Engine("ga", M.matrix, (0, -11, -1), target_cells=1 << 14).align_all(
+        ss, s1, progress=False
+    )
+    Engine("ga", M.matrix, (0, -11, -1), mesh=mesh8, target_cells=1 << 14).align_all(
+        ss, s8, progress=False
+    )
+    np.testing.assert_array_equal(np.asarray(s1.matrix), np.asarray(s8.matrix))
+
+
+def test_engine_mixed_extreme_lengths():
+    rng = np.random.default_rng(9)
+    seqs = [
+        rng.choice(list(b"ARNDC"), ln).astype(np.uint8)
+        for ln in (1, 2, 3, 50, 51, 120, 121, 250, 1)
+    ]
+    ss = SequenceSet.from_list(seqs, M.lut)
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    Engine("sw", M.matrix, (0, -8, -2), target_cells=1 << 14).align_all(
+        ss, store, progress=False
+    )
+    want = oracle_matrix(ss, "sw", (0, -8, -2))
+    np.testing.assert_array_equal(
+        np.asarray(store.matrix).reshape(ss.num, ss.num), want
+    )
+
+
+class TestFilter:
+    def _ss(self, strs):
+        return SequenceSet.from_list(
+            [np.frombuffer(s.encode(), np.uint8) for s in strs], M.lut
+        )
+
+    def test_no_threshold_noop(self):
+        ss = self._ss(["ARND", "ARND"])
+        out, dropped = filter_sequences(ss, 0.0, progress=False)
+        assert dropped == 0 and out is ss
+
+    def test_exact_duplicates_dropped(self):
+        ss = self._ss(["ARND", "ARND", "CQEG"])
+        out, dropped = filter_sequences(ss, 0.9, progress=False)
+        assert dropped == 1
+        assert [out.get_str(i) for i in range(out.num)] == ["ARND", "CQEG"]
+
+    def test_greedy_keep_first_semantics(self):
+        # B similar to A (dropped); C similar to B but NOT to A: since B was
+        # dropped, C survives — the keep-first greedy chain.
+        a = "AAAAAAAAAA"
+        b = "AAAAAAAACC"  # 8/10 vs a
+        c = "AAAAAACCCC"  # 6/10 vs a, 8/10 vs b
+        ss = self._ss([a, b, c])
+        out, dropped = filter_sequences(ss, 0.7, progress=False)
+        assert dropped == 1
+        assert [out.get_str(i) for i in range(out.num)] == [a, c]
+
+    def test_min_length_prefix_identity(self):
+        # matches/min(len) over the common prefix (filter.c:48-54): "ARND"
+        # vs "ARNDXXXX" is 4/4 = 1.0.
+        ss = self._ss(["ARND", "ARNDWWWW", "CCCC"])
+        out, dropped = filter_sequences(ss, 0.99, progress=False)
+        assert dropped == 1
+        assert out.get_str(0) == "ARND"
+
+    def test_threshold_boundary(self):
+        # exactly at threshold -> dropped (>= comparison)
+        ss = self._ss(["AAAA", "AACC"])
+        out, dropped = filter_sequences(ss, 0.5, progress=False)
+        assert dropped == 1
+        out, dropped = filter_sequences(ss, 0.51, progress=False)
+        assert dropped == 0
+
+    def test_blocked_matches_unblocked(self):
+        rng = np.random.default_rng(5)
+        strs = [
+            "".join(rng.choice(list("AC"), rng.integers(4, 12)))
+            for _ in range(40)
+        ]
+        ss = self._ss(strs)
+        a, da = filter_sequences(ss, 0.6, block=7, progress=False)
+        b, db = filter_sequences(ss, 0.6, block=512, progress=False)
+        assert da == db
+        assert [a.get_str(i) for i in range(a.num)] == [
+            b.get_str(i) for i in range(b.num)
+        ]
