@@ -2,29 +2,47 @@
 
 TPU-native replacement for the reference's orchestration layer
 (/root/reference/src/interface/seqalign_cuda.c): instead of a CUDA batch loop
-with two streams (:151-290), blocks of pairs are dispatched asynchronously
-under jit — JAX's async dispatch overlaps device compute with the host-side
-fetch/scatter of the previous block, the same double-buffering the reference
-builds by hand.  Multi-device: the block batch dimension is sharded over a
-1-D ``pairs`` mesh axis (data parallelism over the pair space — the only
-parallelism the problem has, SURVEY.md §2.7); bucket sequence data is
-replicated, so no cross-device communication happens during scoring at all.
-Device memory never holds the N^2 matrix: scores stream back per block
-(hence no analogue of cuda_memory() is needed).
+with two streams (:151-290), superblocks of pairs are dispatched asynchronously
+under jit and resolved lazily — JAX's async dispatch overlaps device compute
+with host-side scatter, and results are concatenated on-device so a whole
+flush costs ONE host synchronization (host<->device round trips dominate on
+tunneled single-chip setups and are precious everywhere).
+
+Compute paths:
+- TPU: the Pallas wavefront kernel (ops/pallas_dp.py).
+- CPU / virtual meshes: the XLA lax.scan wavefront (ops/xla_dp.py), with the
+  block batch dimension sharded over a 1-D ``pairs`` mesh axis (data
+  parallelism over the pair space — the only parallelism the problem has,
+  SURVEY.md §2.7); sequence data is replicated so scoring needs no
+  cross-device communication at all.
+
+Device memory never holds the N^2 matrix: scores stream back per flush
+(hence no analogue of the reference's cuda_memory() planner is needed).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
-
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import ui
+from .io.input import SequenceSet
+from .io.output import OutputStore
+from .ops import pallas_dp
+from .ops.xla_dp import PAD, align_block, padded_submatrix
+from .scheduler import Schedule
+
+ALGOS = ("nw", "ga", "sw")
+
+#: Pairs in flight before a flush (bounds host memory for block metadata).
+FLUSH_PAIRS = 1 << 22
 
 # Persistent compilation cache: a CLI run is a fresh process, and the bucketed
 # pair schedule compiles one executable per (algo, Lc, Lk, B) shape — cache
@@ -40,14 +58,6 @@ if _cache_dir and _cache_dir != "0":
     except Exception:  # cache is an optimization; never fail on it
         pass
 
-from . import ui
-from .io.input import SequenceSet
-from .io.output import OutputStore
-from .ops.xla_dp import PAD, align_block, padded_submatrix
-from .scheduler import Schedule, block_width
-
-ALGOS = ("nw", "ga", "sw")
-
 
 def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     """1-D mesh over the pair axis.  device_kind 'cpu' is the -C fallback
@@ -58,11 +68,20 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("pairs",))
 
 
-@partial(jax.jit, static_argnames=("algo", "Lc", "Lk"), donate_argnums=())
-def _score_block(bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps, *, algo, Lc, Lk):
+@partial(jax.jit, static_argnames=("algo", "Lc", "Lk"))
+def _score_xla(bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps, *, algo, Lc, Lk):
     s1 = bucket_c[rows_c].astype(jnp.int32)
     s2 = bucket_k[rows_k].astype(jnp.int32)
     return align_block(s1, s2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
+
+
+@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B"))
+def _score_pallas(bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps, *, algo, Lc, Lk, B):
+    s1 = bucket_c[rows_c].astype(jnp.int32)
+    s2 = bucket_k[rows_k].astype(jnp.int32)
+    return pallas_dp.align_superblock(
+        s1, s2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
+    )
 
 
 @dataclasses.dataclass
@@ -90,12 +109,21 @@ class Engine:
         mesh: Mesh | None = None,
         device_kind: str = "auto",
         target_cells: int | None = None,
+        use_pallas: bool | None = None,
     ):
         if algo not in ALGOS:
             raise ValueError(f"unknown algorithm {algo!r}")
         self.algo = algo
         self.mesh = mesh if mesh is not None else make_mesh(device_kind)
         self.ndev = self.mesh.devices.size
+        platform = self.mesh.devices.flat[0].platform
+        # Pallas path: real TPU only (CPU runs the XLA wavefront); multi-device
+        # sharding currently rides the XLA path.
+        self.use_pallas = (
+            use_pallas
+            if use_pallas is not None
+            else (platform == "tpu" and self.ndev == 1)
+        )
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
@@ -121,6 +149,25 @@ class Engine:
             arrays.append(self._put_rep(mat))
         return arrays
 
+    def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
+        if self.use_pallas:
+            Kpad = pallas_dp.round_up(Lk + 1, 32)
+            B = pallas_dp.pick_B(Kpad)
+            D = Lc + Lk
+            CD = pallas_dp.pick_CD(D, Kpad, B)
+            Dpad = pallas_dp.round_up(D, CD)
+            S = pallas_dp.pick_S(B, Kpad, Dpad)
+            # Shrink for small combos (fewer wasted pad pairs).
+            while S > 1 and (S - 1) * B >= npairs:
+                S -= 1
+            return S * B, B
+        target = self.target_cells or (1 << 24)
+        b = max(8, min(4096, target // (Lc * Lk)))
+        b = 1 << (int(b).bit_length() - 1)
+        while b // 2 >= max(self.ndev, 8) and b // 2 >= npairs:
+            b //= 2
+        return max(b, self.ndev), 0
+
     def align_all(
         self,
         ss: SequenceSet,
@@ -139,52 +186,61 @@ class Engine:
         gaps_dev = self._put_rep(self.gaps)
 
         stats = AlignStats()
-        pending = None
+        pending: list = []  # (dev_scores, blk)
+        inflight = 0
 
-        def resolve(p):
-            dev_scores, blk = p
-            scores = np.asarray(dev_scores)
-            v = blk.valid
-            if store is not None:
-                store.fill_pairs(blk.orig_i[v], blk.orig_j[v], scores[v])
-            stats.pairs += blk.n_valid
-            stats.cells += blk.cells
-            if bar:
-                bar.add(blk.n_valid)
+        def flush():
+            nonlocal inflight
+            if not pending:
+                return
+            if len(pending) > 1:
+                combined = np.asarray(jnp.concatenate([d for d, _ in pending]))
+            else:
+                combined = np.asarray(pending[0][0])
+            off = 0
+            for dev, blk in pending:
+                n = len(blk.valid)
+                scores = combined[off : off + n]
+                off += n
+                v = blk.valid
+                if store is not None:
+                    store.fill_pairs(blk.orig_i[v], blk.orig_j[v], scores[v])
+                stats.pairs += blk.n_valid
+                stats.cells += blk.cells
+                if bar:
+                    bar.add(blk.n_valid)
+            pending.clear()
+            inflight = 0
 
-        kwargs = {}
-        if self.target_cells:
-            kwargs["target_cells"] = self.target_cells
         for a, b in sched.combos():
             npairs = sched.combo_pair_count(a, b)
             if npairs == 0:
                 continue
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
-            B = block_width(Lc, Lk, self.target_cells) if self.target_cells else block_width(Lc, Lk)
-            # Shrink small-combo blocks, but keep divisibility by mesh size.
-            while B // 2 >= max(self.ndev, 8) and B // 2 >= npairs:
-                B //= 2
-            B = max(B, self.ndev)
-            for blk in sched.blocks(a, b, width=B):
-                dev_scores = _score_block(
-                    buckets_dev[b],
-                    buckets_dev[a],
-                    self._put_shard(blk.rows_c),
-                    self._put_shard(blk.rows_k),
-                    self._put_shard(blk.l1),
-                    self._put_shard(blk.l2),
-                    sub_dev,
-                    gaps_dev,
-                    algo=self.algo,
-                    Lc=Lc,
-                    Lk=Lk,
-                )
-                if pending is not None:
-                    resolve(pending)
-                pending = (dev_scores, blk)
-        if pending is not None:
-            resolve(pending)
+            width, B = self._superblock_width(Lc, Lk, npairs)
+            for blk in sched.blocks(a, b, width=width):
+                if self.use_pallas:
+                    dev = _score_pallas(
+                        buckets_dev[b], buckets_dev[a],
+                        self._put_shard(blk.rows_c), self._put_shard(blk.rows_k),
+                        self._put_shard(blk.l1), self._put_shard(blk.l2),
+                        sub_dev, gaps_dev,
+                        algo=self.algo, Lc=Lc, Lk=Lk, B=B,
+                    )
+                else:
+                    dev = _score_xla(
+                        buckets_dev[b], buckets_dev[a],
+                        self._put_shard(blk.rows_c), self._put_shard(blk.rows_k),
+                        self._put_shard(blk.l1), self._put_shard(blk.l2),
+                        sub_dev, gaps_dev,
+                        algo=self.algo, Lc=Lc, Lk=Lk,
+                    )
+                pending.append((dev, blk))
+                inflight += len(blk.valid)
+                if inflight >= FLUSH_PAIRS:
+                    flush()
+        flush()
         if bar:
             bar.end()
         stats.seconds = time.perf_counter() - t0

@@ -45,6 +45,9 @@ def linear_to_pair(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return i, j
 
 
+# ~1.5x-geometric length edges.  The kernel rounds K = Lk + 1 up to the int8
+# sublane tile (32) regardless, so finer edges strictly reduce work: same
+# Kpad, smaller diagonal count D = Lc + Lk and fewer padded columns.
 DEFAULT_EDGES = (
     16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
     1024, 1536, 2048, 3072, 4096, 6144, 8192,
