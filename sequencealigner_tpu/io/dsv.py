@@ -122,6 +122,12 @@ def parse(
     start = 0 if header_is_data else pos
 
     if 34 not in data:
+        from . import native
+
+        nat = native.dsv_fast(data[start:], lut, gap_pen, delim, cols, seq_col)
+        if nat is not None:
+            ui.pverbl("DSV parsing finished successfuly (native)")
+            return nat
         return _parse_fast(data[start:], delim, cols, seq_col, lut, gap_pen)
     return _parse_quoted(data, start, delim, cols, seq_col, lut, gap_pen)
 

@@ -26,6 +26,12 @@ def parse(data: bytes, ext: str, lut: np.ndarray, *, gap_pen: int = 0) -> list[n
         raise Unsupported(ext)
 
     ui.pverbm("Using FASTA parser")
+    from . import native
+
+    nat = native.fasta(data, lut, gap_pen)
+    if nat is not None:
+        ui.pverbl("FASTA parsing finished successfuly (native)")
+        return nat
     n = len(data)
     if n == 0 or data[0] != ord(">"):
         raise ParseError("Data before first header")
