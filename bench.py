@@ -47,10 +47,14 @@ def measure_tpu(ss, m):
     eng = Engine(ALGO, m.matrix, GAPS)
     # Warmup: compiles every bucket-combo executable.
     eng.align_all(ss, None, progress=False)
-    t0 = time.perf_counter()
-    stats = eng.align_all(ss, None, progress=False)
-    dt = time.perf_counter() - t0
-    return stats.cells / dt / 1e9, stats.pairs / dt
+    best = None
+    for _ in range(3):  # best-of-3: the TPU tunnel adds noisy host latency
+        t0 = time.perf_counter()
+        stats = eng.align_all(ss, None, progress=False)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    return stats.cells / best / 1e9, stats.pairs / best
 
 
 def measure_c_baseline(tmpdir: Path) -> float | None:
@@ -64,8 +68,13 @@ def measure_c_baseline(tmpdir: Path) -> float | None:
             ["gcc", "-O3", "-march=native", "-fopenmp", "-o", str(exe), str(src)],
             check=True, capture_output=True,
         )
-        out = subprocess.run([str(exe)], check=True, capture_output=True, text=True)
-        return float(json.loads(out.stdout.strip())["gcups"])
+        best = 0.0
+        for _ in range(3):  # best-of-3, symmetric with the TPU measurement
+            out = subprocess.run(
+                [str(exe)], check=True, capture_output=True, text=True
+            )
+            best = max(best, float(json.loads(out.stdout.strip())["gcups"]))
+        return best
     except Exception:
         return None
 

@@ -1,0 +1,95 @@
+"""Checkpoint / resume by pair-block.
+
+The reference has no checkpointing (SURVEY.md §5: its disk-backed matrix is
+spill, deleted on exit).  Because this engine schedules the N(N-1)/2 pair
+space as a deterministic stream of superblocks, resume comes nearly for free:
+persist the result matrix in a file-backed array and journal which global
+block indices have been flushed into it.  On restart with the same
+configuration, completed blocks are skipped and their scores are already in
+the store.
+
+Journal format: line 1 is a JSON header binding the run configuration
+(algorithm, gaps, matrix, input digest, sequence count, storage mode); each
+subsequent line is a JSON array of global block indices committed by one
+flush.  Lines are appended with flush+fsync AFTER the store scatter, so a
+crash can only lose the tail flush (which is then recomputed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+class CheckpointError(Exception):
+    pass
+
+
+def config_fingerprint(
+    *, algo: str, gaps: tuple[int, int, int], matrix: str,
+    num_seqs: int, lengths: np.ndarray, triangular: bool,
+) -> dict:
+    h = hashlib.sha256(np.asarray(lengths, np.int64).tobytes()).hexdigest()[:16]
+    return {
+        "algo": algo,
+        "gaps": list(gaps),
+        "matrix": matrix,
+        "num_seqs": int(num_seqs),
+        "lengths_sha": h,
+        "triangular": bool(triangular),
+    }
+
+
+class Journal:
+    """Append-only record of completed global block indices."""
+
+    def __init__(self, path: str | Path, header: dict):
+        self.path = Path(path)
+        self.done: set[int] = set()
+        if self.path.exists():
+            with open(self.path) as f:
+                first = f.readline()
+                existing = json.loads(first) if first.strip() else None
+                if existing != header:
+                    raise CheckpointError(
+                        "Checkpoint was created with a different configuration"
+                    )
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self.done.update(json.loads(line))
+            self._f = open(self.path, "a")
+        else:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "w")
+            self._f.write(json.dumps(header) + "\n")
+            self._f.flush()
+            os.fsync(self._f.fileno())
+
+    def commit(self, block_ids: list[int]) -> None:
+        if not block_ids:
+            return
+        self._f.write(json.dumps(block_ids) + "\n")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self.done.update(block_ids)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def persistent_array(path: str | Path, n_elems: int, dtype=np.int32):
+    """File-backed zeroed array that survives the process (unlike the spill
+    tmpfile) — the checkpoint store."""
+    path = Path(path)
+    nbytes = int(n_elems) * np.dtype(dtype).itemsize
+    exists = path.exists() and path.stat().st_size == nbytes
+    if not exists:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.truncate(nbytes)
+    return np.memmap(path, dtype=dtype, mode="r+", shape=(int(n_elems),))

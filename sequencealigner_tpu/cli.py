@@ -36,6 +36,7 @@ class Config:
     threads: int = 0
     no_device: bool = False  # -C
     no_write: bool = False  # -W
+    checkpoint: str = ""  # -k (TPU-build addition: resume by pair-block)
 
 
 ALGOS = {
@@ -266,6 +267,20 @@ def build_registry(cfg: Config) -> Registry:
             after=("filter_threshold",),
             action=lambda: ui.pinfom("Compression: %d", cfg.compression),
             action_phase="if_set",
+        )
+    )
+
+    def parse_checkpoint(s):
+        cfg.checkpoint = s
+        return s
+
+    reg.register(
+        Argument(
+            name="checkpoint", opt="k", lopt="checkpoint", param="FILE",
+            help="Checkpoint file: resume an interrupted run by pair-block",
+            parse=parse_checkpoint, after=("compression",),
+            action=lambda: ui.pinfom("Checkpoint: %s", cfg.checkpoint),
+            action_phase="if_set", conflicts=("disable_write",),
         )
     )
 

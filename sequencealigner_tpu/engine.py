@@ -68,20 +68,28 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("pairs",))
 
 
-@partial(jax.jit, static_argnames=("algo", "Lc", "Lk"))
-def _score_xla(bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps, *, algo, Lc, Lk):
-    s1 = bucket_c[rows_c].astype(jnp.int32)
-    s2 = bucket_k[rows_k].astype(jnp.int32)
-    return align_block(s1, s2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
+@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "use_pallas"))
+def _score_stack(
+    bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
+    *, algo, Lc, Lk, B, use_pallas,
+):
+    """Score a stack of superblocks — rows_c/rows_k/l1/l2 are (nblk, W) — in a
+    single dispatch: lax.map compiles the per-superblock body once and the
+    device runs the whole stack without host round trips (the reference's
+    CUDA batch loop, seqalign_cuda.c:183-290, needs host code per batch; here
+    the 'loop' is compiled in)."""
 
+    def body(x):
+        rc, rk, l1b, l2b = x
+        s1 = bucket_c[rc].astype(jnp.int32)
+        s2 = bucket_k[rk].astype(jnp.int32)
+        if use_pallas:
+            return pallas_dp.align_superblock(
+                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
+            )
+        return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
 
-@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B"))
-def _score_pallas(bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps, *, algo, Lc, Lk, B):
-    s1 = bucket_c[rows_c].astype(jnp.int32)
-    s2 = bucket_k[rows_k].astype(jnp.int32)
-    return pallas_dp.align_superblock(
-        s1, s2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
-    )
+    return jax.lax.map(body, (rows_c, rows_k, l1, l2))
 
 
 @dataclasses.dataclass
@@ -89,6 +97,7 @@ class AlignStats:
     pairs: int = 0
     cells: int = 0
     seconds: float = 0.0
+    pairs_resumed: int = 0  # skipped via checkpoint journal
 
     @property
     def pairs_per_sec(self) -> float:
@@ -128,6 +137,7 @@ class Engine:
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
         self._shard = NamedSharding(self.mesh, P("pairs"))
+        self._shard2 = NamedSharding(self.mesh, P(None, "pairs"))
         self._rep = NamedSharding(self.mesh, P())
 
     def _put_rep(self, x):
@@ -151,7 +161,7 @@ class Engine:
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas:
-            Kpad = pallas_dp.round_up(Lk + 1, 32)
+            Kpad = pallas_dp.round_up(Lk, 32)
             B = pallas_dp.pick_B(Kpad)
             D = Lc + Lk
             CD = pallas_dp.pick_CD(D, Kpad, B)
@@ -168,13 +178,49 @@ class Engine:
             b //= 2
         return max(b, self.ndev), 0
 
+    def _dispatch(self, blks, buckets_dev, a, b, sub_dev, gaps_dev,
+                  Lc, Lk, B, pending) -> None:
+        """Stack blocks into (nblk, W) arrays, ship once, score in ONE jitted
+        dispatch per power-of-two segment (lax.map recompiles per stack
+        length, so lengths are kept to powers of two — a bounded compile set);
+        results stay on device until flush."""
+        off = 0
+        while off < len(blks):
+            seg = 1 << (len(blks) - off).bit_length() - 1
+            part = blks[off : off + seg]
+            off += seg
+            put2 = lambda x: jax.device_put(np.stack(x), self._shard2)
+            dev = _score_stack(
+                buckets_dev[b], buckets_dev[a],
+                put2([x.rows_c for _, x in part]),
+                put2([x.rows_k for _, x in part]),
+                put2([x.l1 for _, x in part]), put2([x.l2 for _, x in part]),
+                sub_dev, gaps_dev,
+                algo=self.algo, Lc=Lc, Lk=Lk, B=B, use_pallas=self.use_pallas,
+            )
+            pending.append((dev.reshape(-1), part))
+
     def align_all(
         self,
         ss: SequenceSet,
         store: OutputStore | None,
         *,
         progress: bool = True,
+        partition: tuple[int, int] | None = None,
+        merger=None,
+        journal=None,
     ) -> AlignStats:
+        """Score the whole pair space into ``store``.
+
+        partition: (host_id, nhosts) stripes the global superblock stream
+          across hosts (multi-host data parallelism over pairs); flush points
+          count *all* blocks so every host reaches each merge point together.
+        merger: callable (i, j, scores) -> (i, j, scores) applied at flush —
+          the multi-host all-gather (parallel.multihost.TripletMerger).
+        journal: checkpoint.Journal; completed global block indices are
+          skipped on resume and committed after each flush.
+        """
+        host_id, nhosts = partition if partition else (0, 1)
         sched = Schedule.build(ss.lengths)
         total_pairs = sched.total_pairs()
         ui.pinfo("Performing %d pairwise alignments", total_pairs)
@@ -186,32 +232,50 @@ class Engine:
         gaps_dev = self._put_rep(self.gaps)
 
         stats = AlignStats()
-        pending: list = []  # (dev_scores, blk)
+        pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
         inflight = 0
 
         def flush():
             nonlocal inflight
-            if not pending:
+            if not pending and merger is None:
+                inflight = 0
                 return
             if len(pending) > 1:
                 combined = np.asarray(jnp.concatenate([d for d, _ in pending]))
-            else:
+            elif pending:
                 combined = np.asarray(pending[0][0])
+            else:
+                combined = np.zeros(0, np.int32)
             off = 0
-            for dev, blk in pending:
-                n = len(blk.valid)
-                scores = combined[off : off + n]
-                off += n
-                v = blk.valid
-                if store is not None:
-                    store.fill_pairs(blk.orig_i[v], blk.orig_j[v], scores[v])
-                stats.pairs += blk.n_valid
-                stats.cells += blk.cells
-                if bar:
-                    bar.add(blk.n_valid)
+            ii, jj, sc, committed = [], [], [], []
+            for _, blks in pending:
+                for gidx, blk in blks:
+                    n = len(blk.valid)
+                    scores = combined[off : off + n]
+                    off += n
+                    v = blk.valid
+                    ii.append(blk.orig_i[v])
+                    jj.append(blk.orig_j[v])
+                    sc.append(scores[v])
+                    committed.append(gidx)
+                    stats.pairs += blk.n_valid
+                    stats.cells += blk.cells
+                    if bar:
+                        bar.add(blk.n_valid)
+            cat = lambda xs, dt: (
+                np.concatenate(xs) if xs else np.zeros(0, dt)
+            )
+            oi, oj, os_ = cat(ii, np.int64), cat(jj, np.int64), cat(sc, np.int32)
+            if merger is not None:
+                oi, oj, os_ = merger(oi, oj, os_)
+            if store is not None and len(os_):
+                store.fill_pairs(oi, oj, os_)
+            if journal is not None:
+                journal.commit(committed)
             pending.clear()
             inflight = 0
 
+        gidx = 0  # deterministic global superblock index
         for a, b in sched.combos():
             npairs = sched.combo_pair_count(a, b)
             if npairs == 0:
@@ -219,27 +283,45 @@ class Engine:
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
             width, B = self._superblock_width(Lc, Lk, npairs)
+            # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
+            # scored with ONE dispatch per chunk (lax.map over the stack).
+            chunk_blocks = max(1, FLUSH_PAIRS // width)
+            chunk_blocks = 1 << (chunk_blocks.bit_length() - 1)
+            blks: list = []
+
+            def take(blk):
+                """Claim or skip one block; returns its pair count either way
+                (flush cadence must be identical on every host)."""
+                nonlocal gidx
+                idx = gidx
+                gidx += 1
+                if idx % nhosts != host_id:
+                    if bar:
+                        bar.add(blk.n_valid)  # another host's work
+                    return len(blk.valid)
+                if journal is not None and idx in journal.done:
+                    stats.pairs_resumed += blk.n_valid
+                    if bar:
+                        bar.add(blk.n_valid)
+                    return len(blk.valid)
+                blks.append((idx, blk))
+                return len(blk.valid)
+
             for blk in sched.blocks(a, b, width=width):
-                if self.use_pallas:
-                    dev = _score_pallas(
-                        buckets_dev[b], buckets_dev[a],
-                        self._put_shard(blk.rows_c), self._put_shard(blk.rows_k),
-                        self._put_shard(blk.l1), self._put_shard(blk.l2),
-                        sub_dev, gaps_dev,
-                        algo=self.algo, Lc=Lc, Lk=Lk, B=B,
-                    )
-                else:
-                    dev = _score_xla(
-                        buckets_dev[b], buckets_dev[a],
-                        self._put_shard(blk.rows_c), self._put_shard(blk.rows_k),
-                        self._put_shard(blk.l1), self._put_shard(blk.l2),
-                        sub_dev, gaps_dev,
-                        algo=self.algo, Lc=Lc, Lk=Lk,
-                    )
-                pending.append((dev, blk))
-                inflight += len(blk.valid)
+                inflight += take(blk)
+                if len(blks) >= chunk_blocks:
+                    self._dispatch(blks, buckets_dev, a, b, sub_dev, gaps_dev,
+                                   Lc, Lk, B, pending)
+                    blks = []
                 if inflight >= FLUSH_PAIRS:
+                    if blks:
+                        self._dispatch(blks, buckets_dev, a, b, sub_dev,
+                                       gaps_dev, Lc, Lk, B, pending)
+                        blks = []
                     flush()
+            if blks:
+                self._dispatch(blks, buckets_dev, a, b, sub_dev, gaps_dev,
+                               Lc, Lk, B, pending)
         flush()
         if bar:
             bar.end()

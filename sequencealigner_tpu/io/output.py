@@ -22,15 +22,26 @@ def alignments(n: int) -> int:
 
 
 class OutputStore:
-    def __init__(self, dim: int, *, triangular: bool, spill: bool):
+    def __init__(
+        self, dim: int, *, triangular: bool, spill: bool, persist_path=None
+    ):
         self.dim = dim
         self.triangular = triangular
         self.spill = spill
         n_elems = alignments(dim) if triangular else dim * dim
-        self.matrix = system.alloc_array(n_elems, np.int32, spill)
+        if persist_path is not None:
+            # Checkpoint mode: the matrix survives the process so a resumed
+            # run finds completed blocks' scores already in place.
+            from .. import checkpoint
+
+            self.matrix = checkpoint.persistent_array(persist_path, n_elems)
+        else:
+            self.matrix = system.alloc_array(n_elems, np.int32, spill)
 
     @classmethod
-    def plan(cls, dim: int, *, force_triangular: bool = False) -> "OutputStore":
+    def plan(
+        cls, dim: int, *, force_triangular: bool = False, persist_path=None
+    ) -> "OutputStore":
         """Mode decision of output_load (output.c:35-56)."""
         avail = system.available_memory()
         full_bytes = dim * dim * 4
@@ -44,10 +55,12 @@ class OutputStore:
         if bytes_needed > (1 << 30) // 100:
             usage, unit = bytes_needed / (1 << 30), "GiB"
         ui.pinfo("Similarity Matrix size: %.2f %s", usage, unit)
-        if spill:
+        if spill and persist_path is None:
             ui.pinfom("Similarity Matrix size exceeds memory limits")
             ui.pinfol("Creating temporary file storage: %.2f %s", usage, unit)
-        return cls(dim, triangular=triangular, spill=spill)
+        return cls(
+            dim, triangular=triangular, spill=spill, persist_path=persist_path
+        )
 
     def fill_pairs(self, i: np.ndarray, j: np.ndarray, scores: np.ndarray) -> None:
         """Scatter a block of pair scores; i < j elementwise (the vectorized

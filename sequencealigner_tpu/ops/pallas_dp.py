@@ -1,17 +1,25 @@
 """Pallas TPU wavefront DP kernel.
 
 The performance path replacing the XLA lax.scan DP (ops/xla_dp.py) on real
-TPU hardware.  Same mathematical design — pairs-batched anti-diagonal sweep
-with uniform sentinel-border recurrence — engineered for the chip:
+TPU hardware.  Same mathematical design — pairs-batched anti-diagonal sweep —
+engineered for the chip:
+
+- **Analytic border row.**  The DP's k = 0 border (nw.c:13-18, ga.c:26-41,
+  sw.c:21-31 of the reference) is a closed-form scalar per diagonal
+  (NW: d·gap; GA: open + (d-1)·extend; SW: 0), so the state holds only rows
+  k = 1..Lk.  With bucket edges that are multiples of 32, the state row count
+  K = Lk is *exactly* tile-aligned — no padded sublanes — and the XLA-side
+  score-stream build works on lane-aligned widths.
 
 - **int8 skewed score stream, built without gathers.**  Substitution scores
-  are produced by MXU one-hot contractions (exact in bf16: scores are small
+  are produced by MXU one-hot contractions (exact: scores are small
   integers), then *skewed* so each DP step reads its whole diagonal as one
-  contiguous (K, B) slab.  The skew is a pad + flat-reshape trick (shifting
-  row k right by k = viewing an (Lk, W) buffer as (Lk, W-1)), a pure layout
-  copy — no gather ops.  -128 marks pad/invalid cells; it is "negative
-  enough" as-is: pad cells only ever feed pad cells (the DP moves right/
-  down), so their exact magnitude never reaches a valid cell.
+  contiguous (K, B) slab.  The skew is a single pad + flat-reshape trick
+  (shifting row r right by r+1 = viewing a (Kpad, W) buffer as
+  (Kpad, W-1)), a pure layout copy — no gather ops.  -128 marks pad/invalid
+  cells; pad cells only ever feed pad cells (the DP moves right/down), so
+  their magnitude never reaches a valid cell, and the widened column padding
+  keeps the flat-reshape wrap reads inside marker columns.
 
 - **Grid-pipelined streaming.**  grid = (superblock, diagonal-chunk); Pallas
   double-buffers the (CD, K, B) int8 score chunks HBM->VMEM while the VPU
@@ -19,11 +27,11 @@ with uniform sentinel-border recurrence — engineered for the chip:
   two-stream CUDA overlap (/root/reference/src/interface/seqalign_cuda.c:173-284),
   done by the compiler.  Chunk size is capped so both buffers + state fit VMEM.
 
-- **Ping-pong wavefront state, 2 shifts/step.**  H lives in two (K, B) int32
-  scratch buffers whose d-1/d-2 roles alternate with diagonal parity (no
-  copies), alongside *pre-shifted* copies (w = shift(H), ys = shift(Y)) so
-  each step performs exactly two sublane rolls.  K = shorter sequence + 1 on
-  sublanes, B pairs on lanes.
+- **Register-resident wavefront state.**  The diagonal loop carries state as
+  fori_loop values (vector registers), not refs; the persistent scratch is
+  touched once per grid chunk to hand the carry across chunk boundaries.
+  2 sublane rolls per affine step (1 for NW), K = Lk on sublanes, B pairs on
+  lanes.
 
 - **Reduction-free capture.**  NW/GA accumulate ``where(k == l2 and
   d == l1 + l2)`` into a (K, B) accumulator — one select per step, a single
@@ -60,17 +68,22 @@ def round_up(x: int, m: int) -> int:
 
 
 def pick_B(Kpad: int) -> int:
-    """Lane width (pairs per stripe): target ~64k state elements per VPU op."""
-    b = 65536 // Kpad
-    b = 1 << max(b.bit_length() - 1, 0)
-    return max(LANE, min(1024, b))
+    """Lane width (pairs per stripe).  Small B keeps the fori_loop carry
+    (4-6 state arrays of Kpad x B int32) within vector registers — measured
+    ~1.5x faster than B=512 on v5e; one lane tile (128) is the floor."""
+    return 256 if Kpad <= 32 else LANE
 
 
 def pick_CD(D: int, Kpad: int, B: int) -> int:
-    """Diagonal chunk: even, multiple of 16, chunk bytes <= CHUNK_BYTES."""
-    cd = CHUNK_BYTES // (Kpad * B)
-    cd = max(16, cd // 16 * 16)
-    return min(cd, round_up(D, 16))
+    """Diagonal chunk: multiple of 16, chunk bytes <= CHUNK_BYTES, and chosen
+    so Dpad = nchunks * CD overshoots round_up(D, 16) as little as possible
+    (a naive budget cap can force 25% extra padded diagonals)."""
+    cap = max(16, CHUNK_BYTES // (Kpad * B) // 16 * 16)
+    dmin = round_up(D, 16)
+    if cap >= dmin:
+        return dmin
+    nchunks = -(-dmin // cap)
+    return round_up(-(-dmin // nchunks), 16)
 
 
 def pick_S(B: int, Kpad: int, Dpad: int, target_bytes: int = 256 << 20) -> int:
@@ -81,8 +94,8 @@ def pick_S(B: int, Kpad: int, Dpad: int, target_bytes: int = 256 << 20) -> int:
 
 def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int):
     """(N, Lc) x (N, Lk) index arrays -> (N, Kpad, Dpad) int8 skewed grid:
-    out[n, k, d-1] = sub[s2[n, k-1], s1[n, d-k-1]] at valid cells, PAD_MARK
-    elsewhere (d is the 1-based diagonal, k the 1-based row in s2)."""
+    out[n, r, d-1] = sub[s2[n, r], s1[n, d-r-2]] at valid cells (state row r
+    holds DP row k = r + 1; d is the 1-based diagonal), PAD_MARK elsewhere."""
     bf = jnp.bfloat16
     subm = jnp.full((PAD + 1, PAD + 1), PAD_MARK, bf)
     subm = subm.at[:24, :24].set(jnp.asarray(sub_p[:24, :24], bf))
@@ -94,93 +107,106 @@ def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int
         "nkd,ncd->nkc", prof2, oh1, preferred_element_type=jnp.float32
     ).astype(jnp.int8)  # (N, Lk, Lc):  sub[s2[k0], s1[c0]]
 
-    # Skew via pad + flat reshape: OUT[k0, j] = padded[k0, j - k0] (row k0
-    # shifted right by k0).  Requires Dpad >= Lc + Lk so wrap reads land in
-    # the marker padding.
+    # Single-pad skew via flat reshape: P[r, c] = sub0[r, c-1] (one leading
+    # marker column), then OUT[r, j] = P[r, j-r] = sub0[r, j-r-1] — row r
+    # shifted right by r+1.  Width W is chosen so (a) W-1 >= Dpad and
+    # (b) W - Kpad >= Lc + 1, which makes every flat-reshape wrap read (the
+    # j < r positions of row r reading row r-1's tail) land in marker columns.
     n = s1.shape[0]
-    a = jnp.pad(
-        sub0, ((0, 0), (0, 0), (0, Dpad - Lc)), constant_values=PAD_MARK
-    )  # (N, Lk, Dpad)
-    out = a.reshape(n, Lk * Dpad)[:, : Lk * (Dpad - 1)].reshape(n, Lk, Dpad - 1)
-    # SK[:, k, d-1] = OUT[k-1, d-2]; row 0 / rows > Lk / column d=1 invalid.
-    return jnp.pad(
-        out, ((0, 0), (1, Kpad - Lk - 1), (1, 0)), constant_values=PAD_MARK
-    )
+    W = max(Dpad + 1, Lc + Kpad + 1)
+    P = jnp.pad(
+        sub0, ((0, 0), (0, Kpad - Lk), (1, W - Lc - 1)),
+        constant_values=PAD_MARK,
+    )  # (N, Kpad, W)
+    out = P.reshape(n, Kpad * W)[:, : Kpad * (W - 1)].reshape(n, Kpad, W - 1)
+    return out[:, :, :Dpad]
 
 
 def _make_kernel(algo: str, CD: int):
     sm = np.int32(SCORE_MIN)  # concrete literal (a jnp scalar would be traced)
+    nstate = 4 if algo == "nw" else 6
 
-    def kernel(gaps_ref, sk_ref, l1_ref, l2_ref, out_ref, h0, h1, w0, w1, xb, ys, acc):
+    def kernel(gaps_ref, sk_ref, l1_ref, l2_ref, out_ref, state):
+        """Wavefront state is carried as fori_loop VALUES (vector registers),
+        not refs: a ref-based formulation costs ~10 VMEM load/stores per
+        diagonal per vreg, which measures ~7x slower than ALU-bound on v5e.
+        The persistent `state` scratch is touched once per grid chunk to hand
+        the carry across diagonal-chunk boundaries."""
         c = pl.program_id(1)
         nchunks = pl.num_programs(1)
-        shape = h0.shape  # (Kpad, B)
-        k0mask = jax.lax.broadcasted_iota(jnp.int32, shape, 0) == 0
-
-        @pl.when(c == 0)
-        def _init():
-            # h0 = H at d=0 (cell (0,0) = 0), w0 = shift(H_0), w1 = shift(H_-1).
-            h0[...] = jnp.where(k0mask, 0, jnp.full(shape, sm, jnp.int32))
-            w0[...] = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, shape, 0) == 1,
-                0,
-                jnp.full(shape, sm, jnp.int32),
-            )
-            h1[...] = jnp.full(shape, sm, jnp.int32)
-            w1[...] = jnp.full(shape, sm, jnp.int32)
-            xb[...] = jnp.full(shape, sm, jnp.int32)
-            ys[...] = jnp.full(shape, sm, jnp.int32)
-            acc[...] = jnp.zeros(shape, jnp.int32)
+        shape = state.shape[1:]  # (Kpad, B)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        k0mask = kiota == 0
 
         gap = gaps_ref[0, 0]
         opn = gaps_ref[0, 1]
         ext = gaps_ref[0, 2]
         l2 = l2_ref[0]  # (1, B)
-        khot = jax.lax.broadcasted_iota(jnp.int32, shape, 0) == l2
+        khot = kiota == l2 - 1  # state row r = l2 - 1 holds DP row k = l2
         dstar = l1_ref[0] + l2  # capture diagonal, (1, B)
 
-        def shift(v):
-            return jnp.where(k0mask, sm, pltpu.roll(v, shift=1, axis=0))
-
-        def one_diag(d, t, hp, hw, wp, wp2):
-            """One diagonal step: reads H_{d-1} (hp), shift(H_{d-1}) (wp),
-            shift(H_{d-2}) (wp2); writes H_d into hw and shift(H_d) into wp2
-            (whose value is dead after this step)."""
-            sd = sk_ref[0, t].astype(jnp.int32)
-            diag = wp2[...] + sd
+        def border(d):
+            """Analytic k = 0 DP border value for cell (0, d) — the first-row
+            initialisations of nw.c:13-18 / ga.c:26-41 / sw.c:21-31."""
             if algo == "nw":
-                h = jnp.maximum(jnp.maximum(diag, hp[...] + gap), wp[...] + gap)
-                h = jnp.maximum(h, sm)
-            else:
-                x = jnp.maximum(hp[...] + opn, xb[...] + ext)
-                y = jnp.maximum(wp[...] + opn, ys[...] + ext)
-                h = jnp.maximum(jnp.maximum(diag, x), y)
-                h = jnp.maximum(h, 0 if algo == "sw" else sm)
-                xb[...] = jnp.maximum(x, sm)
-                ys[...] = shift(jnp.maximum(y, sm))
+                return d * gap
+            if algo == "ga":
+                return opn + (d - 1) * ext
+            return jnp.int32(0)  # sw
+
+        def shift(v, fill):
+            return jnp.where(k0mask, fill, pltpu.roll(v, shift=1, axis=0))
+
+        # Carry layout: hp = H_{d-1} (rows k=1..), wp = shift-with-border of
+        # H_{d-1}, wp2 = same for H_{d-2}; affine adds xb = X_{d-1},
+        # ys = shifted Y_{d-1}; last slot = capture accumulator.
+        # No max(·, sm) clamps are needed: drift below the sentinel is bounded
+        # by 128·D per step chain, far above int32 wraparound for any D here.
+        @pl.when(c == 0)
+        def _init():
+            smf = jnp.full(shape, sm, jnp.int32)
+            state[0] = smf  # H_0 rows k>=1 are all sentinel
+            state[1] = jnp.where(k0mask, 0, smf)  # shift(H_0): border(0) = 0
+            state[2] = smf  # shift(H_{-1})
+            state[3 if algo == "nw" else 5] = jnp.zeros(shape, jnp.int32)
+            if algo != "nw":
+                state[3] = smf  # X_{d-1}
+                state[4] = smf  # shifted Y_{d-1}
+
+        def step(i, carry):
+            d = c * CD + i + 1
+            sd = sk_ref[0, i].astype(jnp.int32)
+            if algo == "nw":
+                hp, wp, wp2, acc = carry
+                h = jnp.maximum(jnp.maximum(wp2 + sd, hp + gap), wp + gap)
+                acc = acc + jnp.where(khot & (d == dstar), h, 0)
+                return (h, shift(h, border(d)), wp, acc)
+            hp, wp, wp2, xb, ys, acc = carry
+            x = jnp.maximum(hp + opn, xb + ext)
+            y = jnp.maximum(wp + opn, ys + ext)
+            h = jnp.maximum(jnp.maximum(wp2 + sd, x), y)
             if algo == "sw":
-                acc[...] = jnp.maximum(acc[...], h)
+                h = jnp.maximum(h, 0)
+                acc = jnp.maximum(acc, h)
             else:
-                acc[...] = acc[...] + jnp.where(khot & (d == dstar), h, 0)
-            hw[...] = h
-            wp2[...] = shift(h)
+                acc = acc + jnp.where(khot & (d == dstar), h, 0)
+            return (h, shift(h, border(d)), wp, x, shift(y, sm), acc)
 
-        def two_steps(i, _):
-            t = i * 2
-            d = c * CD + t + 1
-            # Parity invariant at even t: h0/w0 hold d-1, h1/w1 hold d-2.
-            one_diag(d, t, h0, h1, w0, w1)
-            one_diag(d + 1, t + 1, h1, h0, w1, w0)
-            return 0
-
-        jax.lax.fori_loop(0, CD // 2, two_steps, 0)
+        if algo == "nw":
+            carry0 = (state[0], state[1], state[2], state[3])
+        else:
+            carry0 = (state[0], state[1], state[2], state[3], state[4], state[5])
+        carry = jax.lax.fori_loop(0, CD, step, carry0)
+        for idx in range(nstate):
+            state[idx] = carry[idx]
 
         @pl.when(c == nchunks - 1)
         def _finish():
+            acc = state[nstate - 1]
             if algo == "sw":
-                out_ref[0] = jnp.max(acc[...], axis=0, keepdims=True)
+                out_ref[0] = jnp.max(acc, axis=0, keepdims=True)
             else:
-                out_ref[0] = jnp.sum(acc[...], axis=0, keepdims=True)
+                out_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
 
     return kernel
 
@@ -206,7 +232,7 @@ def align_superblock(
     n = s1.shape[0]
     assert n % B == 0, (n, B)
     S = n // B
-    Kpad = round_up(Lk + 1, 32)  # int8 sublane tile
+    Kpad = round_up(Lk, 32)  # int8 sublane tile; == Lk for 32-multiple edges
     D = Lc + Lk
     CD = pick_CD(D, Kpad, B)
     Dpad = round_up(D, CD)
@@ -233,7 +259,9 @@ def align_superblock(
         out_specs=pl.BlockSpec((1, 1, B), lambda s, c: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((Kpad, B), jnp.int32) for _ in range(7)],
+        scratch_shapes=[
+            pltpu.VMEM((4 if algo == "nw" else 6, Kpad, B), jnp.int32)
+        ],
         cost_estimate=pl.CostEstimate(
             flops=14 * S * B * Dpad * Kpad, transcendentals=0,
             bytes_accessed=S * Dpad * Kpad * B,

@@ -45,11 +45,13 @@ def linear_to_pair(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return i, j
 
 
-# ~1.5x-geometric length edges.  The kernel rounds K = Lk + 1 up to the int8
-# sublane tile (32) regardless, so finer edges strictly reduce work: same
-# Kpad, smaller diagonal count D = Lc + Lk and fewer padded columns.
+# Length edges are multiples of 32: the Pallas kernel's state row count is
+# K = Lk exactly (analytic border row), so 32-multiple edges are tile-aligned
+# on the int8 sublane dimension AND lane-friendly for the XLA score-stream
+# build.  Edges below 32 share Kpad = 32 and only reduce the diagonal count
+# D = Lc + Lk, so a couple are kept for short-sequence density.
 DEFAULT_EDGES = (
-    16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+    16, 24, 32, 64, 96, 128, 192, 256, 384, 512, 768,
     1024, 1536, 2048, 3072, 4096, 6144, 8192,
 )
 
@@ -67,8 +69,9 @@ def block_width(Lc: int, Lk: int, target_cells: int = TARGET_CELLS) -> int:
 def bucket_edges(max_len: int, edges=DEFAULT_EDGES) -> list[int]:
     out = [e for e in edges if e < max_len]
     grow = list(edges)
-    while grow[-1] < max_len:  # extend by ~1.5x for beyond-table lengths
-        grow.append(grow[-1] + grow[-1] // 2)
+    while grow[-1] < max_len:  # extend ~1.5x, kept a multiple of 32
+        nxt = grow[-1] + grow[-1] // 2
+        grow.append((nxt + 31) // 32 * 32)
     out.append(next(x for x in grow if x >= max_len))
     return sorted(set(out))
 

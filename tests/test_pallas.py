@@ -71,28 +71,28 @@ def test_kernel_multi_superblock_and_chunks():
 
 
 def test_skewed_score_builder():
-    """SK[n, k, d-1] must equal sub[s2[k-1], s1[d-k-1]] at valid cells and
-    PAD_MARK outside."""
+    """SK[n, r, d-1] must equal sub[s2[r], s1[d-r-2]] at valid cells (state
+    row r holds DP row k = r + 1) and PAD_MARK outside."""
     rng = np.random.default_rng(2)
     n, Lc, Lk = 4, 11, 7
-    Kpad, Dpad = round_up(Lk + 1, 32), round_up(Lc + Lk, 16)
+    Kpad, Dpad = round_up(Lk, 32), round_up(Lc + Lk, 16)
     s1, s2, l1, l2 = random_block(rng, n, Lc, Lk)
     sk = np.asarray(
         build_skewed_scores(s1, s2, SUB_P, Lc=Lc, Lk=Lk, Kpad=Kpad, Dpad=Dpad)
     )
     assert sk.shape == (n, Kpad, Dpad)
     for b in range(n):
-        for k in range(Kpad):
+        for r in range(Kpad):
             for d in range(1, Dpad + 1):
-                c0 = d - k - 1
-                if 1 <= k <= Lk and 0 <= c0 < Lc:
-                    a, bb = s2[b, k - 1], s1[b, c0]
+                c0 = d - r - 2
+                if r < Lk and 0 <= c0 < Lc:
+                    a, bb = s2[b, r], s1[b, c0]
                     want = (
                         PAD_MARK if (a == PAD or bb == PAD) else M.matrix[a, bb]
                     )
                 else:
                     want = PAD_MARK
-                assert sk[b, k, d - 1] == want, (b, k, d)
+                assert sk[b, r, d - 1] == want, (b, r, d)
 
 
 def test_geometry_helpers():

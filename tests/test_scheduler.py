@@ -34,9 +34,13 @@ def test_linear_bijection_large_ids():
 def test_bucket_edges():
     assert bucket_edges(10) == [16]
     assert bucket_edges(16) == [16]
-    assert bucket_edges(100) == [16, 24, 32, 48, 64, 96, 128]
+    assert bucket_edges(100) == [16, 24, 32, 64, 96, 128]
     assert bucket_edges(8192)[-1] == 8192
     assert bucket_edges(100000)[-1] >= 100000
+    # beyond-table growth keeps K = edge tile-aligned
+    for e in bucket_edges(100000):
+        if e > 31:
+            assert e % 32 == 0, e
 
 
 def test_block_width_scaling():
