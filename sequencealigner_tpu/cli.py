@@ -386,6 +386,11 @@ def run(argv: list[str] | None = None) -> int:
     from .io import hdf5_io
     from .io import input as sio
     from .io.output import OutputStore, alignments
+    from .parallel import multihost
+
+    host_id, nhosts = multihost.init_from_env()
+    if nhosts > 1:
+        ui.pinfo("Distributed: host %d of %d", host_id, nhosts)
 
     ui.psection("Reading Dataset")
     try:
@@ -411,10 +416,35 @@ def run(argv: list[str] | None = None) -> int:
         return 1
 
     store = None
+    journal = None
     if not cfg.no_write:
         ui.psection("Preparing Similarity Matrix")
         with bench.phase("output"):
-            store = OutputStore.plan(ss.num)
+            persist = None
+            if cfg.checkpoint:
+                suffix = f".h{host_id}" if nhosts > 1 else ""
+                persist = cfg.checkpoint + suffix + ".scores"
+            store = OutputStore.plan(ss.num, persist_path=persist)
+        if cfg.checkpoint:
+            from . import checkpoint as ckpt
+
+            header = ckpt.config_fingerprint(
+                algo=cfg.algo,
+                gaps=(cfg.gap_pen, cfg.gap_opn, cfg.gap_ext),
+                matrix=cfg.matrix.name, num_seqs=ss.num,
+                lengths=ss.lengths, triangular=store.triangular,
+            )
+            try:
+                journal = ckpt.Journal(
+                    cfg.checkpoint + (f".h{host_id}" if nhosts > 1 else ""),
+                    header,
+                )
+            except ckpt.CheckpointError as e:
+                ui.perr(str(e))
+                return 1
+            if journal.done:
+                ui.pinfo("Resuming: %d pair blocks already complete",
+                         len(journal.done))
 
     ui.psection("Performing Alignments")
     gaps = (cfg.gap_pen, cfg.gap_opn, cfg.gap_ext)
@@ -424,19 +454,26 @@ def run(argv: list[str] | None = None) -> int:
     )
     with bench.phase("align"):
         stats = engine.align_all(
-            ss, store, progress=not reg.args["disable_progress"].is_set
+            ss, store, progress=not reg.args["disable_progress"].is_set,
+            partition=(host_id, nhosts) if nhosts > 1 else None,
+            merger=multihost.TripletMerger(nhosts) if nhosts > 1 else None,
+            journal=journal,
         )
     bench.note_cells(stats.cells)
     bench.phase_print("align")
 
     if not cfg.no_write:
-        ui.psection("Writing Output")
-        with bench.phase("output"):
-            hdf5_io.write(
-                cfg.output_path, store, ss, compression=cfg.compression,
-                progress=not reg.args["disable_progress"].is_set,
-            )
-        bench.phase_print("output")
+        multihost.barrier("pre-write")
+        if host_id == 0:
+            ui.psection("Writing Output")
+            with bench.phase("output"):
+                hdf5_io.write(
+                    cfg.output_path, store, ss, compression=cfg.compression,
+                    progress=not reg.args["disable_progress"].is_set,
+                )
+            bench.phase_print("output")
+        if journal is not None:
+            journal.close()
 
     bench.total_print(alignments(ss.num))
     return 0

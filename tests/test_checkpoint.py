@@ -1,0 +1,131 @@
+"""Checkpoint/resume by pair-block: an interrupted run must complete from its
+journal with bit-identical results and without recomputing finished blocks."""
+
+import numpy as np
+import pytest
+
+from sequencealigner_tpu import checkpoint as ckpt
+from sequencealigner_tpu import matrices
+from sequencealigner_tpu.engine import Engine
+from sequencealigner_tpu.io.input import SequenceSet
+from sequencealigner_tpu.io.output import OutputStore
+
+M = matrices.get("blosum62")
+
+
+def _random_set(rng, n):
+    seqs = [
+        rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                   int(rng.integers(4, 40)))
+        for _ in range(n)
+    ]
+    return SequenceSet.from_list(seqs, M.lut)
+
+
+def _header(ss, algo="ga", gaps=(0, -10, -1)):
+    return ckpt.config_fingerprint(
+        algo=algo, gaps=gaps, matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=True,
+    )
+
+
+def test_journal_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    j = ckpt.Journal(p, _header(ss))
+    j.commit([0, 3, 5])
+    j.commit([7])
+    j.close()
+    j2 = ckpt.Journal(p, _header(ss))
+    assert j2.done == {0, 3, 5, 7}
+    j2.close()
+
+
+def test_journal_rejects_config_mismatch(tmp_path):
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    ckpt.Journal(p, _header(ss)).close()
+    with pytest.raises(ckpt.CheckpointError):
+        ckpt.Journal(p, _header(ss, algo="sw"))
+
+
+def test_persistent_array_survives(tmp_path):
+    p = tmp_path / "scores.dat"
+    a = ckpt.persistent_array(p, 16)
+    a[3] = 42
+    a.flush()
+    del a
+    b = ckpt.persistent_array(p, 16)
+    assert b[3] == 42
+
+
+def test_resume_completes_interrupted_run(tmp_path):
+    rng = np.random.default_rng(11)
+    ss = _random_set(rng, 40)
+    gaps = (0, -10, -1)
+    eng = Engine("ga", M.matrix, gaps, device_kind="cpu", target_cells=1 << 11)
+
+    full = OutputStore(ss.num, triangular=True, spill=False)
+    eng.align_all(ss, full, progress=False)
+
+    header = _header(ss)
+    jpath = tmp_path / "run.ckpt"
+    spath = tmp_path / "run.scores"
+
+    # "Interrupted" first run: journal only a synthetic prefix of blocks by
+    # running fully, then truncating the journal to its first commit line.
+    store1 = OutputStore(ss.num, triangular=True, spill=False,
+                         persist_path=spath)
+    j1 = ckpt.Journal(jpath, header)
+    eng.align_all(ss, store1, progress=False, journal=j1)
+    j1.close()
+    lines = jpath.read_text().splitlines()
+    assert len(lines) >= 2  # header + >=1 commit
+    # keep header + half the commits (simulates a crash mid-run)
+    keep = 1 + max(1, (len(lines) - 1) // 2)
+    jpath.write_text("\n".join(lines[:keep]) + "\n")
+
+    # resumed run: must skip journaled blocks and fill in the rest
+    store2 = OutputStore(ss.num, triangular=True, spill=False,
+                         persist_path=spath)
+    j2 = ckpt.Journal(jpath, header)
+    n_done = len(j2.done)
+    assert n_done > 0
+    stats = eng.align_all(ss, store2, progress=False, journal=j2)
+    assert stats.pairs_resumed > 0
+    assert stats.pairs + stats.pairs_resumed == ss.num * (ss.num - 1) // 2
+    np.testing.assert_array_equal(
+        np.asarray(store2.matrix), np.asarray(full.matrix)
+    )
+    j2.close()
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """End-to-end: run with -k, delete nothing, re-run — second run resumes
+    and produces the same HDF5 output."""
+    import h5py
+
+    from sequencealigner_tpu.cli import run
+
+    rng = np.random.default_rng(3)
+    fa = tmp_path / "in.fasta"
+    with open(fa, "w") as f:
+        for i in range(12):
+            s = "".join(
+                rng.choice(list("ARNDCQEGHILKMFPSTWYV"))
+                for _ in range(int(rng.integers(5, 30)))
+            )
+            f.write(f">s{i}\n{s}\n")
+    out1 = tmp_path / "o1.h5"
+    out2 = tmp_path / "o2.h5"
+    ck = tmp_path / "run.ckpt"
+    base = ["-m", "blosum62", "-a", "ga", "-s", "10", "-e", "1", "-F", "-P",
+            "-Q", "-C", "-k", str(ck)]
+    assert run(["-i", str(fa), "-o", str(out1)] + base) == 0
+    assert run(["-i", str(fa), "-o", str(out2)] + base) == 0
+    with h5py.File(out1) as f1, h5py.File(out2) as f2:
+        np.testing.assert_array_equal(
+            f1["/similarity_matrix"][:], f2["/similarity_matrix"][:]
+        )

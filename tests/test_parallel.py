@@ -1,0 +1,140 @@
+"""Multi-host distribution logic, simulated in-process: partition striping
+must cover the pair space exactly once across hosts, and merged partitioned
+runs must reproduce the unpartitioned result bit-for-bit (SURVEY.md §2.7's
+multi-host pair-block sharding plan)."""
+
+import numpy as np
+import pytest
+
+from sequencealigner_tpu import matrices
+from sequencealigner_tpu.engine import Engine
+from sequencealigner_tpu.io.input import SequenceSet
+from sequencealigner_tpu.io.output import OutputStore
+from sequencealigner_tpu.parallel.multihost import TripletMerger
+
+M = matrices.get("blosum62")
+
+
+def _random_set(rng, n, lo=4, hi=40):
+    seqs = [
+        rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                   int(rng.integers(lo, hi)))
+        for _ in range(n)
+    ]
+    return SequenceSet.from_list(seqs, M.lut)
+
+
+def _matrix(store):
+    return np.asarray(store.matrix).reshape(store.dim, store.dim)
+
+
+@pytest.mark.parametrize("nhosts", [2, 3])
+def test_partitioned_union_equals_full(nhosts):
+    rng = np.random.default_rng(5)
+    ss = _random_set(rng, 36)
+    gaps = (0, -10, -1)
+
+    eng = Engine("ga", M.matrix, gaps, device_kind="cpu", target_cells=1 << 12)
+    full = OutputStore(ss.num, triangular=False, spill=False)
+    stats = eng.align_all(ss, full, progress=False)
+    assert stats.pairs == ss.num * (ss.num - 1) // 2
+
+    merged = np.zeros((ss.num, ss.num), np.int32)
+    covered = np.zeros((ss.num, ss.num), bool)
+    total_pairs = 0
+    for h in range(nhosts):
+        st = OutputStore(ss.num, triangular=False, spill=False)
+        s = eng.align_all(ss, st, progress=False, partition=(h, nhosts))
+        total_pairs += s.pairs
+        got = _matrix(st)
+        mask = got != 0
+        # Hosts must not overlap (a pair is scored by exactly one host).
+        assert not (covered & mask).any()
+        covered |= mask
+        merged = np.where(mask, got, merged)
+    assert total_pairs == stats.pairs
+    np.testing.assert_array_equal(merged, _matrix(full))
+
+
+class FakeGather:
+    """Stands in for process_allgather: replays per-host inputs recorded from
+    sequential runs, returning the stacked (nhosts, ...) array every host
+    would see."""
+
+    def __init__(self, per_host_values):
+        self.vals = per_host_values
+
+    def __call__(self, x):
+        return np.stack(self.vals)
+
+
+def test_triplet_merger_exchanges_union():
+    i0, j0, s0 = (np.array([1, 2], np.int64), np.array([3, 4], np.int64),
+                  np.array([10, 20], np.int32))
+    i1, j1, s1 = (np.array([5], np.int64), np.array([6], np.int64),
+                  np.array([30], np.int32))
+
+    calls = {"n": 0}
+
+    def gather(x):
+        # emulate both hosts contributing: host0's arrays then host1's padded
+        calls["n"] += 1
+        if x.dtype == np.int64 and len(x) == 1:  # sizes exchange
+            return np.array([[2], [1]])
+        if calls["n"] == 2:  # i
+            return np.stack([i0, np.array([5, 0], np.int64)])
+        if calls["n"] == 3:  # j
+            return np.stack([j0, np.array([6, 0], np.int64)])
+        return np.stack([s0, np.array([30, 0], np.int32)])
+
+    m = TripletMerger(2, gather=gather)
+    gi, gj, gs = m(i0, j0, s0)
+    np.testing.assert_array_equal(gi, [1, 2, 5])
+    np.testing.assert_array_equal(gj, [3, 4, 6])
+    np.testing.assert_array_equal(gs, [10, 20, 30])
+
+
+def test_triplet_merger_single_host_passthrough():
+    m = TripletMerger(1)
+    i = np.array([1], np.int64)
+    j = np.array([2], np.int64)
+    s = np.array([3], np.int32)
+    gi, gj, gs = m(i, j, s)
+    assert gi is i and gj is j and gs is s
+
+
+def test_partition_with_merger_completes_every_store():
+    """With the merger exchanging triplets, every host's store must converge
+    to the full matrix (what happens on a real 2-host run)."""
+    rng = np.random.default_rng(9)
+    ss = _random_set(rng, 24)
+    gaps = (-4, 0, 0)
+    eng = Engine("nw", M.matrix, gaps, device_kind="cpu", target_cells=1 << 12)
+
+    full = OutputStore(ss.num, triangular=False, spill=False)
+    eng.align_all(ss, full, progress=False)
+
+    # Run both "hosts" sequentially, recording each flush's triplets; the
+    # fake merger then hands both hosts the union, mimicking allgather.
+    recorded = {}
+
+    class RecordingMerger:
+        def __init__(self, h):
+            self.h = h
+
+        def __call__(self, i, j, s):
+            recorded.setdefault(self.h, []).append((i, j, s))
+            return i, j, s
+
+    stores = []
+    for h in range(2):
+        st = OutputStore(ss.num, triangular=False, spill=False)
+        eng.align_all(ss, st, progress=False, partition=(h, 2),
+                      merger=RecordingMerger(h))
+        stores.append(st)
+    # exchange: apply host 1's triplets to host 0's store and vice versa
+    for h, st in enumerate(stores):
+        for i, j, s in recorded[1 - h]:
+            if len(s):
+                st.fill_pairs(i, j, s)
+        np.testing.assert_array_equal(_matrix(st), _matrix(full))
