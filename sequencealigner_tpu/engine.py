@@ -23,6 +23,7 @@ Device memory never holds the N^2 matrix: scores stream back per flush
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from functools import partial
@@ -31,6 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
 
 from . import ui
 from .io.input import SequenceSet
@@ -68,8 +74,7 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("pairs",))
 
 
-@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "use_pallas"))
-def _score_stack(
+def _stack_body(
     bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
     *, algo, Lc, Lk, B, use_pallas,
 ):
@@ -90,6 +95,37 @@ def _score_stack(
         return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
 
     return jax.lax.map(body, (rows_c, rows_k, l1, l2))
+
+
+@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "use_pallas"))
+def _score_stack(
+    bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
+    *, algo, Lc, Lk, B, use_pallas,
+):
+    return _stack_body(
+        bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
+        algo=algo, Lc=Lc, Lk=Lk, B=B, use_pallas=use_pallas,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scorer(mesh, algo: str, Lc: int, Lk: int, B: int, use_pallas: bool):
+    """SPMD scorer over a >1-device mesh: superblock stacks are split on the
+    pair axis with shard_map — sequences/LUT replicated, zero collectives
+    (data parallelism over the pair space is the workload's whole parallel
+    structure, SURVEY.md §2.7).  Explicit shard_map (rather than GSPMD
+    inference) is what lets the Pallas kernel run per-device on pods."""
+    body = partial(
+        _stack_body, algo=algo, Lc=Lc, Lk=Lk, B=B, use_pallas=use_pallas
+    )
+    rep, shard = P(), P(None, "pairs")
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, shard, shard, shard, shard, rep, rep),
+        out_specs=shard,
+        check_rep=False,
+    )
+    return jax.jit(f)
 
 
 @dataclasses.dataclass
@@ -126,12 +162,10 @@ class Engine:
         self.mesh = mesh if mesh is not None else make_mesh(device_kind)
         self.ndev = self.mesh.devices.size
         platform = self.mesh.devices.flat[0].platform
-        # Pallas path: real TPU only (CPU runs the XLA wavefront); multi-device
-        # sharding currently rides the XLA path.
+        # Pallas path: real TPU only (CPU runs the XLA wavefront); on meshes
+        # it runs per-device under shard_map.
         self.use_pallas = (
-            use_pallas
-            if use_pallas is not None
-            else (platform == "tpu" and self.ndev == 1)
+            use_pallas if use_pallas is not None else platform == "tpu"
         )
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
@@ -167,16 +201,21 @@ class Engine:
             CD = pallas_dp.pick_CD(D, Kpad, B)
             Dpad = pallas_dp.round_up(D, CD)
             S = pallas_dp.pick_S(B, Kpad, Dpad)
-            # Shrink for small combos (fewer wasted pad pairs).
-            while S > 1 and (S - 1) * B >= npairs:
-                S -= 1
+            # Shrink for small combos (fewer wasted pad pairs), but keep the
+            # per-device shard a whole number of B-wide stripes.
+            s_needed = -(-npairs // B)
+            s_needed = -(-s_needed // self.ndev) * self.ndev
+            S = max(self.ndev, min(S // self.ndev * self.ndev, s_needed))
             return S * B, B
         target = self.target_cells or (1 << 24)
         b = max(8, min(4096, target // (Lc * Lk)))
         b = 1 << (int(b).bit_length() - 1)
         while b // 2 >= max(self.ndev, 8) and b // 2 >= npairs:
             b //= 2
-        return max(b, self.ndev), 0
+        b = max(b, self.ndev)
+        if b % self.ndev:  # non-power-of-two meshes
+            b = -(-b // self.ndev) * self.ndev
+        return b, 0
 
     def _dispatch(self, blks, buckets_dev, a, b, sub_dev, gaps_dev,
                   Lc, Lk, B, pending) -> None:
@@ -190,14 +229,22 @@ class Engine:
             part = blks[off : off + seg]
             off += seg
             put2 = lambda x: jax.device_put(np.stack(x), self._shard2)
-            dev = _score_stack(
+            args = (
                 buckets_dev[b], buckets_dev[a],
                 put2([x.rows_c for _, x in part]),
                 put2([x.rows_k for _, x in part]),
                 put2([x.l1 for _, x in part]), put2([x.l2 for _, x in part]),
                 sub_dev, gaps_dev,
-                algo=self.algo, Lc=Lc, Lk=Lk, B=B, use_pallas=self.use_pallas,
             )
+            if self.ndev > 1:
+                dev = _sharded_scorer(
+                    self.mesh, self.algo, Lc, Lk, B, self.use_pallas
+                )(*args)
+            else:
+                dev = _score_stack(
+                    *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B,
+                    use_pallas=self.use_pallas,
+                )
             pending.append((dev.reshape(-1), part))
 
     def align_all(
