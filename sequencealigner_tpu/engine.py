@@ -89,7 +89,12 @@ def _stack_body(
         s1 = bucket_c[rc].astype(jnp.int32)
         s2 = bucket_k[rk].astype(jnp.int32)
         if use_pallas:
-            return pallas_dp.align_superblock(
+            score = (
+                pallas_dp.align_superblock_banded
+                if pallas_dp.use_banded(Lk)
+                else pallas_dp.align_superblock
+            )
+            return score(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
             )
         return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
@@ -195,11 +200,16 @@ class Engine:
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas:
-            Kpad = pallas_dp.round_up(Lk, 32)
-            B = pallas_dp.pick_B(Kpad)
-            D = Lc + Lk
-            CD = pallas_dp.pick_CD(D, Kpad, B)
-            Dpad = pallas_dp.round_up(D, CD)
+            if pallas_dp.use_banded(Lk):
+                B = 128  # measured best for the banded kernel on v5e
+                nb, _, Db = pallas_dp.banded_geometry(Lc, Lk, B)
+                Kpad, Dpad = nb * pallas_dp.KB, Db
+            else:
+                Kpad = pallas_dp.round_up(Lk, 32)
+                B = pallas_dp.pick_B(Kpad)
+                D = Lc + Lk
+                CD = pallas_dp.pick_CD(D, Kpad, B)
+                Dpad = pallas_dp.round_up(D, CD)
             S = pallas_dp.pick_S(B, Kpad, Dpad)
             # Shrink for small combos (fewer wasted pad pairs), but keep the
             # per-device shard a whole number of B-wide stripes.

@@ -122,6 +122,224 @@ def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int
     return out[:, :, :Dpad]
 
 
+#: Band height for the banded kernel (int8 sublane tile).
+KB = 32
+
+
+def use_banded(Lk: int) -> bool:
+    """Banded sweep pays off once there is more than one band: measured on
+    v5e it is ~2x at Lk=256 and ~2.5x at Lk=1024, parity at Lk=64."""
+    return Lk > KB
+
+
+def banded_geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int]:
+    """(nb, CD, Db) for the banded kernel."""
+    nb = -(-Lk // KB)
+    Dband = Lc + KB
+    CD = pick_CD(Dband, KB, B)
+    return nb, CD, round_up(Dband, CD)
+
+
+def build_banded_scores(
+    s1, s2, sub_p, *, Lc: int, Lk: int, nb: int, Db: int
+):
+    """Per-band skewed int8 score stream: (N, nb, KB, Db) where
+    out[n, bi, r, t-1] = sub[s2[n, bi*KB + r], s1[n, t - r - 2]] at valid
+    cells (t is the band-local 1-based diagonal; DP row k = bi*KB + r + 1),
+    PAD_MARK elsewhere.  Same single-pad flat-reshape skew as
+    build_skewed_scores, vectorized over the band dimension."""
+    bf = jnp.bfloat16
+    subm = jnp.full((PAD + 1, PAD + 1), PAD_MARK, bf)
+    subm = subm.at[:24, :24].set(jnp.asarray(sub_p[:24, :24], bf))
+    oh1 = jax.nn.one_hot(s1, PAD + 1, dtype=bf)
+    oh2 = jax.nn.one_hot(s2, PAD + 1, dtype=bf)
+    prof2 = jnp.einsum("nkc,cd->nkd", oh2, subm)
+    sub0 = jnp.einsum(
+        "nkd,ncd->nkc", prof2, oh1, preferred_element_type=jnp.float32
+    ).astype(jnp.int8)  # (N, Lk, Lc)
+
+    n = s1.shape[0]
+    W = max(Db + 1, Lc + KB + 1)
+    P = jnp.pad(
+        sub0, ((0, 0), (0, nb * KB - Lk), (1, W - Lc - 1)),
+        constant_values=PAD_MARK,
+    ).reshape(n, nb, KB, W)
+    out = (
+        P.reshape(n, nb, KB * W)[:, :, : KB * (W - 1)].reshape(n, nb, KB, W - 1)
+    )
+    return out[:, :, :, :Db]
+
+
+def _make_banded_kernel(algo: str, CD: int, Db: int):
+    """Banded wavefront: grid = (superblock, band, diagonal-chunk).  Bands of
+    KB DP rows sweep only their own Lc + KB diagonals, eliminating most of
+    the full sweep's ramp waste (~2x padded cells for square pairs).  Band
+    bi+1 consumes band bi's bottom-row H (and Y) values through double-
+    buffered column streams written one (1, B) slice per diagonal."""
+    sm = np.int32(SCORE_MIN)
+    nstate = 4 if algo == "nw" else 6
+    nprev = 1 if algo == "nw" else 2  # H (+ Y) bottom-row streams
+
+    def kernel(gaps_ref, sk_ref, l1_ref, l2_ref, out_ref, state, prev):
+        # prev: (2 parities, nprev, Db + KB, B); band bi reads parity bi & 1
+        # at column t + KB and writes parity (bi + 1) & 1 at column t.
+        band = pl.program_id(1)
+        c = pl.program_id(2)
+        nbands = pl.num_programs(1)
+        nchunks = pl.num_programs(2)
+        shape = state.shape[1:]  # (KB, B)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        k0mask = kiota == 0
+
+        gap = gaps_ref[0, 0]
+        opn = gaps_ref[0, 1]
+        ext = gaps_ref[0, 2]
+        l2 = l2_ref[0]  # (1, B)
+        khot = kiota == l2 - 1 - band * KB
+        tstar = l1_ref[0] + l2 - band * KB  # band-local capture diagonal
+
+        rp = band % 2  # read parity
+        wp_par = (band + 1) % 2
+
+        @pl.when((band == 0) & (c == 0))
+        def _prefill():
+            # Analytic k = 0 border as band 0's "previous bottom row"
+            # (nw.c:13-18 / ga.c:26-41 / sw.c:21-31), and sentinel tails so
+            # uninitialized reads can never exceed true scores.
+            wshape = prev.shape[2:]  # (Db + KB, B)
+            col = jax.lax.broadcasted_iota(jnp.int32, wshape, 0) - KB
+            if algo == "nw":
+                prev[0, 0] = col * gap
+            elif algo == "ga":
+                prev[0, 0] = jnp.where(col <= 0, 0, opn + (col - 1) * ext)
+            else:
+                prev[0, 0] = jnp.zeros(wshape, jnp.int32)
+            prev[1, 0] = jnp.full(wshape, sm, jnp.int32)
+            if nprev == 2:
+                prev[0, 1] = jnp.full(wshape, sm, jnp.int32)
+                prev[1, 1] = jnp.full(wshape, sm, jnp.int32)
+
+        @pl.when(c == 0)
+        def _init():
+            smf = jnp.full(shape, sm, jnp.int32)
+            state[0] = smf  # H_0 band rows are all sentinel
+            h0row = prev[rp, 0, KB]  # previous bottom row at column 0
+            state[1] = jnp.where(k0mask, h0row[None], smf)  # shift(H_0)
+            state[2] = smf  # shift(H_{-1})
+            state[3 if algo == "nw" else 5] = jnp.zeros(shape, jnp.int32)
+            if algo != "nw":
+                state[3] = smf  # X_{d-1}
+                y0row = prev[rp, 1, KB]
+                state[4] = jnp.where(k0mask, y0row[None], smf)
+
+        def shift(v, fill):
+            return jnp.where(k0mask, fill, pltpu.roll(v, shift=1, axis=0))
+
+        def step(i, carry):
+            t = c * CD + i + 1  # band-local diagonal
+            sd = sk_ref[0, 0, i].astype(jnp.int32)
+            fill_h = prev[rp, 0, pl.ds(t + KB, 1)]  # (1, B): H[k0-1][t]
+            if algo == "nw":
+                hp, wp, wp2, acc = carry
+                h = jnp.maximum(jnp.maximum(wp2 + sd, hp + gap), wp + gap)
+                acc = acc + jnp.where(khot & (t == tstar), h, 0)
+                prev[wp_par, 0, pl.ds(t, 1)] = h[KB - 1 : KB]
+                return (h, shift(h, fill_h), wp, acc)
+            hp, wp, wp2, xb, ys, acc = carry
+            x = jnp.maximum(hp + opn, xb + ext)
+            y = jnp.maximum(wp + opn, ys + ext)
+            h = jnp.maximum(jnp.maximum(wp2 + sd, x), y)
+            if algo == "sw":
+                h = jnp.maximum(h, 0)
+                acc = jnp.maximum(acc, h)
+            else:
+                acc = acc + jnp.where(khot & (t == tstar), h, 0)
+            prev[wp_par, 0, pl.ds(t, 1)] = h[KB - 1 : KB]
+            prev[wp_par, 1, pl.ds(t, 1)] = y[KB - 1 : KB]
+            fill_y = prev[rp, 1, pl.ds(t + KB, 1)]
+            return (h, shift(h, fill_h), wp, x, shift(y, fill_y), acc)
+
+        if algo == "nw":
+            carry0 = (state[0], state[1], state[2], state[3])
+        else:
+            carry0 = (state[0], state[1], state[2], state[3], state[4], state[5])
+        carry = jax.lax.fori_loop(0, CD, step, carry0)
+        for idx in range(nstate):
+            state[idx] = carry[idx]
+
+        @pl.when(c == nchunks - 1)
+        def _finish():
+            acc = state[nstate - 1]
+            if algo == "sw":
+                part = jnp.max(acc, axis=0, keepdims=True)
+            else:
+                part = jnp.sum(acc, axis=0, keepdims=True)
+
+            @pl.when(band == 0)
+            def _first():
+                out_ref[0] = part
+
+            @pl.when(band > 0)
+            def _rest():
+                if algo == "sw":
+                    out_ref[0] = jnp.maximum(out_ref[0], part)
+                else:
+                    out_ref[0] = out_ref[0] + part
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "interpret")
+)
+def align_superblock_banded(
+    s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, B: int,
+    interpret: bool = False
+):
+    """Banded variant of align_superblock: same contract, ~2x fewer padded
+    cells when Lk >> KB.  Use when Lk >= 2*KB."""
+    n = s1.shape[0]
+    assert n % B == 0, (n, B)
+    S = n // B
+    nb, CD, Db = banded_geometry(Lc, Lk, B)
+
+    sk = build_banded_scores(s1, s2, sub_p, Lc=Lc, Lk=Lk, nb=nb, Db=Db)
+    # (S, B, nb, KB, Db) -> (S, nb, Db, KB, B)
+    sk = sk.reshape(S, B, nb, KB, Db).transpose(0, 2, 4, 3, 1)
+    l1b = l1.reshape(S, 1, B).astype(jnp.int32)
+    l2b = l2.reshape(S, 1, B).astype(jnp.int32)
+    gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
+
+    grid = (S, nb, Db // CD)
+    nprev = 1 if algo == "nw" else 2
+    out = pl.pallas_call(
+        _make_banded_kernel(algo, CD, Db),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CD, KB, B), lambda s, b, c: (s, b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((4 if algo == "nw" else 6, KB, B), jnp.int32),
+            pltpu.VMEM((2, nprev, Db + KB, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=14 * S * B * nb * Db * KB, transcendentals=0,
+            bytes_accessed=S * nb * Db * KB * B,
+        ),
+        interpret=interpret,
+    )(gaps2, sk, l1b, l2b)
+    return out.reshape(n)
+
+
 def _make_kernel(algo: str, CD: int):
     sm = np.int32(SCORE_MIN)  # concrete literal (a jnp scalar would be traced)
     nstate = 4 if algo == "nw" else 6

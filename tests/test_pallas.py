@@ -101,3 +101,43 @@ def test_geometry_helpers():
     Kpad, B = 160, 256
     cd = pick_CD(256, Kpad, B)
     assert cd % 16 == 0 and cd * Kpad * B <= (2 << 20)
+
+
+@pytest.mark.parametrize(
+    "algo,gaps", [("nw", (-4, 0, 0)), ("ga", (0, -10, -1)), ("sw", (0, -8, -2))]
+)
+def test_banded_kernel_matches_oracle(algo, gaps):
+    from sequencealigner_tpu.ops.pallas_dp import align_superblock_banded
+
+    rng = np.random.default_rng(hash(algo) % 2**31)
+    B, Lc, Lk = 128, 80, 70  # nb = 3 bands, last band partially padded
+    s1, s2, l1, l2 = random_block(rng, B, Lc, Lk)
+    got = np.asarray(
+        align_superblock_banded(
+            s1, s2, l1, l2, SUB_P, np.array(gaps, np.int32),
+            algo=algo, Lc=Lc, Lk=Lk, B=B, interpret=True,
+        )
+    )
+    kw = {"gap": gaps[0], "opn": gaps[1], "ext": gaps[2]}
+    for b in range(0, B, 11):
+        want = oracle.align_score(
+            algo, s1[b, : l1[b]], s2[b, : l2[b]], M.matrix, **kw
+        )
+        assert got[b] == want, (algo, b, got[b], want)
+
+
+def test_banded_multi_superblock():
+    from sequencealigner_tpu.ops.pallas_dp import align_superblock_banded
+
+    rng = np.random.default_rng(17)
+    B, Lc, Lk = 128, 100, 96
+    s1, s2, l1, l2 = random_block(rng, 2 * B, Lc, Lk)
+    got = np.asarray(
+        align_superblock_banded(
+            s1, s2, l1, l2, SUB_P, np.array([0, -11, -1], np.int32),
+            algo="ga", Lc=Lc, Lk=Lk, B=B, interpret=True,
+        )
+    )
+    for b in range(0, 2 * B, 29):
+        want = oracle.ga_affine(s1[b, : l1[b]], s2[b, : l2[b]], M.matrix, -11, -1)
+        assert got[b] == want, (b, got[b], want)
