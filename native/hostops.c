@@ -1,0 +1,74 @@
+/* Native host-side runtime ops: result-store scatter, packed-triangular row
+ * reconstruction, and bucket packing.
+ *
+ * TPU-native equivalents of the reference's output-fill and HDF5-conversion
+ * hot loops (/root/reference/src/io/output.c:68-84, io/format/hdf5.c:148-196)
+ * and of the host-side sequence packing that feeds the device.  OpenMP
+ * parallel like the reference's conversion loop; loaded via ctypes
+ * (io/native.py) with NumPy fallbacks.
+ *
+ * Build: gcc -O3 -march=native -fopenmp -shared -fPIC -o libhostops.so hostops.c
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+/* Scatter pair scores into the packed triangular store:
+ * matrix[j*(j-1)/2 + i] = s  (i < j elementwise). */
+void fill_pairs_tri(int32_t *matrix, const int64_t *i, const int64_t *j,
+                    const int32_t *s, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t t = 0; t < n; t++)
+        matrix[j[t] * (j[t] - 1) / 2 + i[t]] = s[t];
+}
+
+/* Scatter into the full symmetric store (both mirrors). */
+void fill_pairs_full(int32_t *matrix, int64_t dim, const int64_t *i,
+                     const int64_t *j, const int32_t *s, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t t = 0; t < n; t++) {
+        matrix[i[t] * dim + j[t]] = s[t];
+        matrix[j[t] * dim + i[t]] = s[t];
+    }
+}
+
+/* Reconstruct full rows [r0, r1) from packed triangular storage (the
+ * conversion loop of hdf5.c:148-163): row r gets
+ *   out[r][i] = tri[tri_off(r) + i]          for i < r
+ *   out[r][r] = 0
+ *   out[r][j] = tri[tri_off(j) + r]          for j > r      */
+void rows_from_tri(const int32_t *tri, int32_t *out, int64_t dim, int64_t r0,
+                   int64_t r1) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = r0; r < r1; r++) {
+        int32_t *row = out + (r - r0) * dim;
+        const int64_t off = r * (r - 1) / 2;
+        if (r > 0)
+            memcpy(row, tri + off, (size_t)r * sizeof(int32_t));
+        row[r] = 0;
+        for (int64_t j = r + 1; j < dim; j++)
+            row[j] = tri[j * (j - 1) / 2 + r];
+    }
+}
+
+/* Pack selected sequences into a padded LUT-index matrix:
+ * out[row][c] = lut[data[offsets[order[row]] + c]] for c < len, pad_value
+ * beyond.  The host-side analogue of align.c:49-50's per-pair ind[] build,
+ * done once per length bucket. */
+void pack_rows(const uint8_t *data, const int64_t *offsets,
+               const int64_t *order, int64_t nrows, int64_t edge,
+               const int32_t *lut, int8_t pad_value, int8_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < nrows; r++) {
+        const int64_t s = order[r];
+        const int64_t beg = offsets[s], end = offsets[s + 1];
+        int8_t *row = out + r * edge;
+        int64_t len = end - beg;
+        if (len > edge)
+            len = edge;
+        for (int64_t c = 0; c < len; c++)
+            row[c] = (int8_t)lut[data[beg + c]];
+        if (len < edge)
+            memset(row + len, pad_value, (size_t)(edge - len));
+    }
+}

@@ -33,10 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from . import ui
 from .io.input import SequenceSet
@@ -128,7 +128,7 @@ def _sharded_scorer(mesh, algo: str, Lc: int, Lk: int, B: int, use_pallas: bool)
         body, mesh=mesh,
         in_specs=(rep, rep, shard, shard, shard, shard, rep, rep),
         out_specs=shard,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 
@@ -187,14 +187,18 @@ class Engine:
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
         """Per-bucket device-resident int8 LUT-index matrices (pad = PAD)."""
+        from .io import native
+
         lut = ss.lut
         arrays = []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
-            mat = np.full((b.count, b.edge), PAD, dtype=np.int8)
-            for local, orig in enumerate(rows):
-                s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
-                mat[local, : len(s)] = lut[s]
+            mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
+            if mat is None:
+                mat = np.full((b.count, b.edge), PAD, dtype=np.int8)
+                for local, orig in enumerate(rows):
+                    s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
+                    mat[local, : len(s)] = lut[s]
             arrays.append(self._put_rep(mat))
         return arrays
 

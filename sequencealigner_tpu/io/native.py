@@ -20,32 +20,38 @@ import numpy as np
 
 from .input import ParseError
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "fastparse.c"
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SRC = _NATIVE_DIR / "fastparse.c"
 _lib = None
 _tried = False
 
 
-def _build() -> ctypes.CDLL | None:
-    if not _SRC.exists():
+def _build_lib(src: Path, extra_flags: tuple[str, ...] = ()) -> ctypes.CDLL | None:
+    if not src.exists():
         return None
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
     cache = Path(
         os.environ.get(
             "SEQALIGN_TPU_CACHE",
             os.path.expanduser("~/.cache/sequencealigner-tpu"),
         )
     )
-    so = cache / f"libfastparse-{tag}.so"
+    so = cache / f"lib{src.stem}-{tag}.so"
     if not so.exists():
         cache.mkdir(parents=True, exist_ok=True)
         tmp = so.with_suffix(".so.tmp")
         subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+            ["gcc", "-O3", "-shared", "-fPIC", *extra_flags,
+             "-o", str(tmp), str(src)],
             check=True,
             capture_output=True,
         )
         tmp.replace(so)
     return ctypes.CDLL(str(so))
+
+
+def _build() -> ctypes.CDLL | None:
+    return _build_lib(_SRC)
 
 
 def get() -> ctypes.CDLL | None:
@@ -118,3 +124,90 @@ def dsv_fast(
         lib.dsv_parse_fast, data, lut, gap_pen, data.count(b"\n") + 2,
         delim, cols, seq_col,
     )
+
+
+# ---- hostops: store scatter / row reconstruction / bucket packing ----------
+
+_hostops = None
+_hostops_tried = False
+
+
+def hostops() -> ctypes.CDLL | None:
+    """Loader for native/hostops.c (OpenMP host runtime ops)."""
+    global _hostops, _hostops_tried
+    if _hostops_tried:
+        return _hostops
+    _hostops_tried = True
+    if os.environ.get("SEQALIGN_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        lib = _build_lib(_NATIVE_DIR / "hostops.c",
+                         ("-march=native", "-fopenmp"))
+        if lib is None:
+            return None
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        lib.fill_pairs_tri.restype = None
+        lib.fill_pairs_tri.argtypes = [i32p, i64p, i64p, i32p, i64]
+        lib.fill_pairs_full.restype = None
+        lib.fill_pairs_full.argtypes = [i32p, i64, i64p, i64p, i32p, i64]
+        lib.rows_from_tri.restype = None
+        lib.rows_from_tri.argtypes = [i32p, i32p, i64, i64, i64]
+        lib.pack_rows.restype = None
+        lib.pack_rows.argtypes = [u8p, i64p, i64p, i64, i64, i32p,
+                                  ctypes.c_int8, i8p]
+        _hostops = lib
+    except Exception:
+        _hostops = None
+    return _hostops
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fill_pairs_tri(matrix, i, j, s) -> bool:
+    lib = hostops()
+    if lib is None:
+        return False
+    lib.fill_pairs_tri(_ptr(matrix, ctypes.c_int32), _ptr(i, ctypes.c_int64),
+                       _ptr(j, ctypes.c_int64), _ptr(s, ctypes.c_int32),
+                       len(s))
+    return True
+
+
+def fill_pairs_full(matrix, dim, i, j, s) -> bool:
+    lib = hostops()
+    if lib is None:
+        return False
+    lib.fill_pairs_full(_ptr(matrix, ctypes.c_int32), dim,
+                        _ptr(i, ctypes.c_int64), _ptr(j, ctypes.c_int64),
+                        _ptr(s, ctypes.c_int32), len(s))
+    return True
+
+
+def rows_from_tri(tri, dim, r0, r1):
+    lib = hostops()
+    if lib is None:
+        return None
+    out = np.empty((r1 - r0, dim), dtype=np.int32)
+    lib.rows_from_tri(_ptr(tri, ctypes.c_int32), _ptr(out, ctypes.c_int32),
+                      dim, r0, r1)
+    return out
+
+
+def pack_rows(data, offsets, order, edge, lut, pad_value):
+    lib = hostops()
+    if lib is None:
+        return None
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    lut32 = np.ascontiguousarray(lut, dtype=np.int32)
+    out = np.empty((len(order), edge), dtype=np.int8)
+    lib.pack_rows(_ptr(data, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+                  _ptr(order, ctypes.c_int64), len(order), edge,
+                  _ptr(lut32, ctypes.c_int32), pad_value,
+                  _ptr(out, ctypes.c_int8))
+    return out

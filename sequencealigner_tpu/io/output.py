@@ -64,15 +64,20 @@ class OutputStore:
 
     def fill_pairs(self, i: np.ndarray, j: np.ndarray, scores: np.ndarray) -> None:
         """Scatter a block of pair scores; i < j elementwise (the vectorized
-        equivalent of output_fill, output.c:68-84)."""
-        i = np.asarray(i, dtype=np.int64)
-        j = np.asarray(j, dtype=np.int64)
-        s = np.asarray(scores, dtype=np.int32)
+        equivalent of output_fill, output.c:68-84).  Uses the native OpenMP
+        scatter (native/hostops.c) when available, NumPy otherwise."""
+        from . import native
+
+        i = np.ascontiguousarray(i, dtype=np.int64)
+        j = np.ascontiguousarray(j, dtype=np.int64)
+        s = np.ascontiguousarray(scores, dtype=np.int32)
         if self.triangular:
-            self.matrix[j * (j - 1) // 2 + i] = s
+            if not native.fill_pairs_tri(self.matrix, i, j, s):
+                self.matrix[j * (j - 1) // 2 + i] = s
         else:
-            self.matrix[i * self.dim + j] = s
-            self.matrix[j * self.dim + i] = s
+            if not native.fill_pairs_full(self.matrix, self.dim, i, j, s):
+                self.matrix[i * self.dim + j] = s
+                self.matrix[j * self.dim + i] = s
 
     def get_pair(self, i: int, j: int) -> int:
         if i == j:
@@ -97,4 +102,10 @@ class OutputStore:
         return out
 
     def rows(self, start: int, end: int) -> np.ndarray:
+        if self.triangular:
+            from . import native
+
+            out = native.rows_from_tri(self.matrix, self.dim, start, end)
+            if out is not None:
+                return out
         return np.stack([self.row(r) for r in range(start, end)])
