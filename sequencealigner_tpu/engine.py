@@ -42,7 +42,7 @@ from . import ui
 from .io.input import SequenceSet
 from .io.output import OutputStore
 from .ops import pallas_dp
-from .ops.xla_dp import PAD, align_block, padded_submatrix
+from .ops.xla_dp import PAD, align_block, align_block_streamed, padded_submatrix
 from .scheduler import Schedule
 
 ALGOS = ("nw", "ga", "sw")
@@ -88,7 +88,7 @@ def _stack_body(
         rc, rk, l1b, l2b = x
         s1 = bucket_c[rc].astype(jnp.int32)
         s2 = bucket_k[rk].astype(jnp.int32)
-        if use_pallas:
+        if use_pallas and pallas_dp.supports(Lc, Lk):
             score = (
                 pallas_dp.align_superblock_banded
                 if pallas_dp.use_banded(Lk)
@@ -96,6 +96,11 @@ def _stack_body(
             )
             return score(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
+            )
+        if (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
+            # Long pairs: never materialize the O(Lc*Lk) score grid.
+            return align_block_streamed(
+                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk
             )
         return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
 
@@ -203,7 +208,7 @@ class Engine:
         return arrays
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
-        if self.use_pallas:
+        if self.use_pallas and pallas_dp.supports(Lc, Lk):
             if pallas_dp.use_banded(Lk):
                 B = 128  # measured best for the banded kernel on v5e
                 nb, _, Db = pallas_dp.banded_geometry(Lc, Lk, B)

@@ -132,6 +132,27 @@ def use_banded(Lk: int) -> bool:
     return Lk > KB
 
 
+#: Per-pair budget for the materialized int8 score stream (HBM); beyond this
+#: the engine falls back to the streamed XLA path (ops/xla_dp.py).
+SK_BYTES_PER_PAIR_MAX = 24 << 20
+
+
+def supports(Lc: int, Lk: int) -> bool:
+    """Whether the Pallas kernels can run this bucket combo: the skewed score
+    stream is materialized per superblock, so per-pair bytes must stay
+    bounded.  (The reference's GPU path instead hard-caps length at 1023,
+    src/bio/kernels.cuh:10; here long pairs just take the streamed path.)"""
+    if use_banded(Lk):
+        nb, _, Db = banded_geometry(Lc, Lk, 128)
+        per_pair = nb * KB * Db
+    else:
+        Kpad = round_up(Lk, 32)
+        B = pick_B(Kpad)
+        Dpad = round_up(Lc + Lk, pick_CD(Lc + Lk, Kpad, B))
+        per_pair = Kpad * Dpad
+    return per_pair <= SK_BYTES_PER_PAIR_MAX
+
+
 def banded_geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int]:
     """(nb, CD, Db) for the banded kernel."""
     nb = -(-Lk // KB)

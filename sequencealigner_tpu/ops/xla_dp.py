@@ -124,7 +124,15 @@ def align_block(s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int):
 
     khot = jnp.arange(K)[None, :] == l2[:, None]  # capture row (B, K)
     dstar = l1 + l2  # capture diagonal per pair
+    init, step = _dp_steps(algo, gap, opn, ext, sm, khot, dstar, h0, hm1, xy0, B)
+    carry, _ = jax.lax.scan(step, init, sk)
+    return carry[-2] if algo != "sw" else carry[-1]
 
+
+def _dp_steps(algo, gap, opn, ext, sm, khot, dstar, h0, hm1, xy0, B):
+    """(init_carry, step) shared by the materialized and streamed scans.
+    The capture accumulator is the last carry slot for sw, second-to-last
+    (before the diagonal counter) for nw/ga."""
     if algo == "nw":
 
         def step(carry, sd):
@@ -138,9 +146,7 @@ def align_block(s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int):
             acc = jnp.where(d == dstar, contrib, acc)
             return (h, hd1, acc, d + 1), None
 
-        init = (h0, hm1, jnp.zeros((B,), jnp.int32), jnp.int32(1))
-        (_, _, acc, _), _ = jax.lax.scan(step, init, sk)
-        return acc
+        return (h0, hm1, jnp.zeros((B,), jnp.int32), jnp.int32(1)), step
 
     if algo == "ga":
 
@@ -157,8 +163,7 @@ def align_block(s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int):
             return (h, hd1, x, y, acc, d + 1), None
 
         init = (h0, hm1, xy0, xy0, jnp.zeros((B,), jnp.int32), jnp.int32(1))
-        (_, _, _, _, acc, _), _ = jax.lax.scan(step, init, sk)
-        return acc
+        return init, step
 
     if algo == "sw":
 
@@ -173,8 +178,63 @@ def align_block(s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int):
             best = jnp.maximum(best, jnp.max(h, axis=1))
             return (h, hd1, x, y, best), None
 
-        init = (h0, hm1, xy0, xy0, jnp.zeros((B,), jnp.int32))
-        (_, _, _, _, best), _ = jax.lax.scan(step, init, sk)
-        return best
+        return (h0, hm1, xy0, xy0, jnp.zeros((B,), jnp.int32)), step
 
     raise ValueError(f"unknown algorithm {algo!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "CD"))
+def align_block_streamed(
+    s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, CD: int = 128
+):
+    """align_block for LONG sequences: the skewed score grid is never
+    materialized (O(Lc*Lk) memory per pair); instead each scan step over
+    diagonal chunks builds its (CD, B, K) slab from an s1 window via the
+    MXU one-hot trick.  This removes any practical sequence-length cap —
+    the reference's GPU path gives up at 1023 chars
+    (/root/reference/src/bio/kernels.cuh:10); here memory is O(B*(Lc+Lk)).
+    """
+    B = s1.shape[0]
+    K = Lk + 1
+    sm = jnp.int32(SCORE_MIN)
+    gap, opn, ext = gaps[0], gaps[1], gaps[2]
+    f32 = jnp.float32
+
+    # Row profiles, reversed so row rk = K-1-k skews by exactly rk (flat
+    # trick): prof_rev[b, rk, a] = sub_p[s2[b, K-2-rk], a]; rk = K-1 (k=0)
+    # is the PAD profile (all BIG_NEG).
+    s2e = jnp.pad(s2, ((0, 0), (1, 0)), constant_values=PAD)  # adds k=0 slot
+    oh2 = jax.nn.one_hot(s2e[:, ::-1], PAD + 1, dtype=f32)  # (B, K, 25)
+    prof_rev = jnp.einsum("bka,ac->bkc", oh2, sub_p.astype(f32))  # (B, K, 25)
+
+    # s1 padded so every window index is in range: window for chunk c0 covers
+    # original columns [c0 - Lk, c0 + CD - 1).
+    nchunks = -(-(Lc + Lk) // CD)
+    s1e = jnp.pad(
+        s1, ((0, 0), (Lk, nchunks * CD - Lc)), constant_values=PAD
+    )  # (B, Lk + nchunks*CD)
+
+    W = CD + Lk  # window width
+    khot = jnp.arange(K)[None, :] == l2[:, None]
+    dstar = l1 + l2
+    h0 = jnp.full((B, K), sm, jnp.int32).at[:, 0].set(0)
+    hm1 = jnp.full((B, K), sm, jnp.int32)
+    xy0 = jnp.full((B, K), sm, jnp.int32)
+    init, step = _dp_steps(algo, gap, opn, ext, sm, khot, dstar, h0, hm1, xy0, B)
+
+    def chunk(carry, c0):
+        win = jax.lax.dynamic_slice_in_dim(s1e, c0, W, axis=1)  # (B, W)
+        oh1 = jax.nn.one_hot(win, PAD + 1, dtype=f32)  # (B, W, 25)
+        slab = jnp.einsum(
+            "bka,bwa->bkw", prof_rev, oh1, preferred_element_type=f32
+        ).astype(jnp.int32)  # (B, K, W): row rk, window col w
+        # Diagonal extraction: sk[j, b, k] = slab[b, rk, j + rk] (rk = K-1-k)
+        # via pad + flat-reshape (left-shift row rk by rk), then reverse k.
+        a = jnp.pad(slab.reshape(B, K * W), ((0, 0), (0, K)))
+        a = a.reshape(B, K, W + 1)[:, :, :CD]  # (B, K, CD), rows rk
+        sk = jnp.transpose(a[:, ::-1, :], (2, 0, 1))  # (CD, B, K), rows k
+        return jax.lax.scan(step, carry, sk)[0], None
+
+    c0s = jnp.arange(nchunks, dtype=jnp.int32) * CD
+    carry, _ = jax.lax.scan(chunk, init, c0s)
+    return carry[-2] if algo != "sw" else carry[-1]

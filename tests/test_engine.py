@@ -152,3 +152,24 @@ class TestFilter:
         assert [a.get_str(i) for i in range(a.num)] == [
             b.get_str(i) for i in range(b.num)
         ]
+
+
+def test_engine_long_sequences_streamed_path():
+    """Lengths far beyond the reference's 1023-char GPU cap route through the
+    streamed scorer; scores must match the oracle."""
+    from sequencealigner_tpu.ops import oracle
+
+    rng = np.random.default_rng(23)
+    seqs = [
+        rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                   int(rng.integers(1100, 2100)))
+        for _ in range(4)
+    ]
+    ss = SequenceSet.from_list(seqs, M.lut)
+    eng = Engine("ga", M.matrix, (0, -10, -1), device_kind="cpu")
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    stats = eng.align_all(ss, store, progress=False)
+    assert stats.pairs == 6
+    i0, i1 = M.lut[seqs[0]], M.lut[seqs[1]]
+    want = oracle.ga_affine(i0, i1, M.matrix, -10, -1)
+    assert store.get_pair(0, 1) == want

@@ -8,6 +8,10 @@ from sequencealigner_tpu import matrices
 from sequencealigner_tpu.ops import oracle
 from sequencealigner_tpu.ops.xla_dp import PAD, align_block, padded_submatrix
 
+M_ = matrices.get("blosum62")
+SUB_P = padded_submatrix(M_.matrix)
+
+
 
 def random_block(rng, B, Lc, Lk, nsym=20):
     l1 = rng.integers(1, Lc + 1, B).astype(np.int32)
@@ -105,3 +109,30 @@ def test_single_cell_tables():
                         np.array(gaps, np.int32), algo=algo, Lc=8, Lk=4)
         )
         assert got[0] == want
+
+
+@pytest.mark.parametrize(
+    "algo,gaps", [("nw", (-4, 0, 0)), ("ga", (0, -10, -1)), ("sw", (0, -8, -2))]
+)
+def test_streamed_matches_materialized(algo, gaps):
+    from sequencealigner_tpu.ops.xla_dp import align_block_streamed
+
+    rng = np.random.default_rng(hash(algo) % 2**30)
+    B, Lc, Lk = 16, 150, 90  # several CD=64 chunks, mixed lengths
+    l1 = rng.integers(1, Lc + 1, B).astype(np.int32)
+    l2 = rng.integers(1, Lk + 1, B).astype(np.int32)
+    s1 = np.full((B, Lc), PAD, np.int32)
+    s2 = np.full((B, Lk), PAD, np.int32)
+    for b in range(B):
+        s1[b, : l1[b]] = rng.integers(0, 20, l1[b])
+        s2[b, : l2[b]] = rng.integers(0, 20, l2[b])
+    g = np.array(gaps, np.int32)
+    want = np.asarray(
+        align_block(s1, s2, l1, l2, SUB_P, g, algo=algo, Lc=Lc, Lk=Lk)
+    )
+    got = np.asarray(
+        align_block_streamed(
+            s1, s2, l1, l2, SUB_P, g, algo=algo, Lc=Lc, Lk=Lk, CD=64
+        )
+    )
+    np.testing.assert_array_equal(got, want)
