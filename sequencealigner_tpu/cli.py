@@ -37,6 +37,7 @@ class Config:
     no_device: bool = False  # -C
     no_write: bool = False  # -W
     checkpoint: str = ""  # -k (TPU-build addition: resume by pair-block)
+    trace_dir: str = ""  # -t (TPU-build addition: jax.profiler trace)
 
 
 ALGOS = {
@@ -284,6 +285,20 @@ def build_registry(cfg: Config) -> Registry:
         )
     )
 
+    def parse_trace(s):
+        cfg.trace_dir = s
+        return s
+
+    reg.register(
+        Argument(
+            name="trace", opt="t", lopt="trace", param="DIR",
+            help="Write a jax.profiler trace of the alignment phase to DIR",
+            parse=parse_trace,
+            action=lambda: ui.pinfom("Profiler trace: %s", cfg.trace_dir),
+            action_phase="if_set",
+        )
+    )
+
     # ---- runtime knobs ---------------------------------------------------
     reg.register(
         Argument(
@@ -452,13 +467,21 @@ def run(argv: list[str] | None = None) -> int:
         cfg.algo, cfg.matrix.matrix, gaps,
         device_kind="cpu" if cfg.no_device else "auto",
     )
-    with bench.phase("align"):
-        stats = engine.align_all(
-            ss, store, progress=not reg.args["disable_progress"].is_set,
-            partition=(host_id, nhosts) if nhosts > 1 else None,
-            merger=multihost.TripletMerger(nhosts) if nhosts > 1 else None,
-            journal=journal,
-        )
+    if cfg.trace_dir:
+        import jax
+
+        jax.profiler.start_trace(cfg.trace_dir)
+    try:
+        with bench.phase("align"):
+            stats = engine.align_all(
+                ss, store, progress=not reg.args["disable_progress"].is_set,
+                partition=(host_id, nhosts) if nhosts > 1 else None,
+                merger=multihost.TripletMerger(nhosts) if nhosts > 1 else None,
+                journal=journal,
+            )
+    finally:
+        if cfg.trace_dir:
+            jax.profiler.stop_trace()
     bench.note_cells(stats.cells)
     bench.phase_print("align")
 

@@ -180,3 +180,17 @@ class TestEndToEnd:
         rc = run_cli("-i", str(fasta_file), "-o", str(out), "-m", "blosum62",
                      "-a", "nw", "-p", "4", "-C", "-F", "-Q")
         assert rc == 0
+
+
+def test_cli_trace_flag(tmp_path):
+    import os
+
+    fa = tmp_path / "in.fasta"
+    fa.write_text(">a\nAAAA\n>b\nAARN\n>c\nDDDD\n")
+    out = tmp_path / "o.h5"
+    tdir = tmp_path / "trace"
+    rc = cli.run(["-i", str(fa), "-o", str(out), "-m", "blosum62", "-a", "nw",
+              "-p", "4", "-F", "-P", "-Q", "-C", "-t", str(tdir)])
+    assert rc == 0
+    # a profiler trace directory must have been produced
+    assert tdir.exists() and any(tdir.rglob("*"))
