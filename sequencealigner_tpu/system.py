@@ -19,9 +19,14 @@ THREAD_NUM = 0
 
 
 def set_threads(n: int) -> int:
-    """Configure host worker thread count (parsing / writeback); 0 = auto."""
+    """Configure host worker thread count (parsing / writeback / native
+    OpenMP ops); 0 = auto.  The -T equivalent of omp_set_num_threads
+    (reference src/system/os.c:466-473) — exported via OMP_NUM_THREADS so
+    the ctypes-loaded native libraries (native/hostops.c) honor it."""
     global THREAD_NUM
     THREAD_NUM = n if n > 0 else (os.cpu_count() or 1)
+    if n > 0:
+        os.environ["OMP_NUM_THREADS"] = str(THREAD_NUM)
     return THREAD_NUM
 
 
