@@ -72,3 +72,24 @@ void pack_rows(const uint8_t *data, const int64_t *offsets,
             memset(row + len, pad_value, (size_t)(edge - len));
     }
 }
+
+/* Greedy keep-first-in-file-order filter resolution (the deterministic spec
+ * of the reference's prefilter, src/bio/filter.c:48-54): within a column
+ * block [j0, j1), sequence j is lost iff some kept i < j has sim[i][j-j0]
+ * set.  sim is row-major (j1 rows guaranteed by caller, stride = j1 - j0).
+ * Sequential by construction (each j depends on all i < j). */
+void filter_resolve(const uint8_t *sim, uint8_t *lost, int64_t j0,
+                    int64_t j1) {
+    const int64_t stride = j1 - j0;
+    for (int64_t j = (j0 > 1 ? j0 : 1); j < j1; j++) {
+        const uint8_t *col = sim + (j - j0);
+        uint8_t hit = 0;
+        for (int64_t i = 0; i < j; i++) {
+            if (col[i * stride] && !lost[i]) {
+                hit = 1;
+                break;
+            }
+        }
+        lost[j] = hit;
+    }
+}

@@ -52,7 +52,7 @@ def filter_sequences(
         chars[i, : len(s)] = s
 
     thr = np.float32(threshold)
-    lost = np.zeros(n, dtype=bool)
+    lost = np.zeros(n, dtype=np.uint8)
     bar = ui.Progress(n - 1, "Filtering sequences") if progress else None
 
     chars_dev = jax.device_put(chars)
@@ -66,17 +66,24 @@ def filter_sequences(
             rows_dev = jax.lax.slice_in_dim(chars_dev, i0, i1, axis=0)
             counts[i0:i1] = np.asarray(_match_counts(rows_dev, cols_dev))
         minlen = np.minimum(lengths[:j1, None], lengths[None, j0:j1])
-        sim = counts.astype(np.float32) / minlen.astype(np.float32) >= thr
+        sim = np.ascontiguousarray(
+            counts.astype(np.float32) / minlen.astype(np.float32) >= thr
+        ).view(np.uint8)
         # Greedy in-order resolution within the block (cross-block kept status
-        # is already final).
-        for j in range(max(j0, 1), j1):
-            cand = sim[:j, j - j0]
-            lost[j] = bool(np.any(cand & ~lost[:j]))
-            if bar:
-                bar.add(1)
+        # is already final); native C loop with a NumPy fallback.
+        from .io import native
+
+        if not native.filter_resolve(sim, lost, j0, j1):
+            lostb = lost.view(bool)
+            for j in range(max(j0, 1), j1):
+                cand = sim.view(bool)[:j, j - j0]
+                lostb[j] = bool(np.any(cand & ~lostb[:j]))
+        if bar:
+            bar.add(j1 - j0)
     if bar:
         bar.end()
 
+    lost = lost.view(bool)
     dropped = int(lost.sum())
     if dropped == 0:
         return ss, 0

@@ -211,3 +211,21 @@ def pack_rows(data, offsets, order, edge, lut, pad_value):
                   _ptr(lut32, ctypes.c_int32), pad_value,
                   _ptr(out, ctypes.c_int8))
     return out
+
+
+def filter_resolve(sim, lost, j0, j1) -> bool:
+    """Greedy filter resolution in C; sim is (j1, j1-j0) uint8, lost (>=j1,)
+    uint8 updated in place."""
+    lib = hostops()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_filter_resolve_typed"):
+        lib.filter_resolve.restype = None
+        lib.filter_resolve.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib._filter_resolve_typed = True
+    lib.filter_resolve(_ptr(sim, ctypes.c_uint8), _ptr(lost, ctypes.c_uint8),
+                       j0, j1)
+    return True
