@@ -75,19 +75,38 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
 
 
 def _stack_body(
-    bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
-    *, algo, Lc, Lk, B, use_pallas,
+    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, shard_offset=None,
 ):
-    """Score a stack of superblocks — rows_c/rows_k/l1/l2 are (nblk, W) — in a
-    single dispatch: lax.map compiles the per-superblock body once and the
-    device runs the whole stack without host round trips (the reference's
+    """Score a stack of superblocks in a single dispatch: lax.map over the
+    (nblk,) superblock start ids compiles the per-superblock body once and
+    the device runs the whole stack without host round trips (the reference's
     CUDA batch loop, seqalign_cuda.c:183-290, needs host code per batch; here
-    the 'loop' is compiled in)."""
+    the 'loop' is compiled in).
 
-    def body(x):
-        rc, rk, l1b, l2b = x
+    Pair indices are derived ON DEVICE from each superblock's first linear id
+    (`starts`): triangle inversion via searchsorted on the (count+1,) `tri`
+    table for within-bucket combos, div/mod for cross-bucket ones — so the
+    host ships 8 bytes per superblock instead of 16 bytes per pair.
+    ``shard_offset`` (set under shard_map) positions this device's Wloc-wide
+    slice of each superblock."""
+
+    def body(t0):
+        lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
+        if shard_offset is not None:
+            lin = lin + shard_offset
+        lin = jnp.where(lin < npairs, lin, 0)  # pad pairs -> dummy (0, 0)
+        if same:
+            rc = (jnp.searchsorted(tri, lin, side="right") - 1).astype(jnp.int32)
+            rk = (lin - tri[rc]).astype(jnp.int32)
+        else:
+            ca = lens_k.shape[0]
+            rk = (lin % ca).astype(jnp.int32)
+            rc = (lin // ca).astype(jnp.int32)
         s1 = bucket_c[rc].astype(jnp.int32)
         s2 = bucket_k[rk].astype(jnp.int32)
+        l1b = lens_c[rc]
+        l2b = lens_k[rk]
         if use_pallas and pallas_dp.supports(Lc, Lk):
             score = (
                 pallas_dp.align_superblock_banded
@@ -104,35 +123,49 @@ def _stack_body(
             )
         return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
 
-    return jax.lax.map(body, (rows_c, rows_k, l1, l2))
+    return jax.lax.map(body, starts)
 
 
-@partial(jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same"),
+)
 def _score_stack(
-    bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
-    *, algo, Lc, Lk, B, use_pallas,
+    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same,
 ):
     return _stack_body(
-        bucket_c, bucket_k, rows_c, rows_k, l1, l2, sub_p, gaps,
-        algo=algo, Lc=Lc, Lk=Lk, B=B, use_pallas=use_pallas,
+        bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
+        algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
+        same=same,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_scorer(mesh, algo: str, Lc: int, Lk: int, B: int, use_pallas: bool):
-    """SPMD scorer over a >1-device mesh: superblock stacks are split on the
+def _sharded_scorer(
+    mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
+    use_pallas: bool, same: bool,
+):
+    """SPMD scorer over a >1-device mesh: each superblock is split on the
     pair axis with shard_map — sequences/LUT replicated, zero collectives
     (data parallelism over the pair space is the workload's whole parallel
     structure, SURVEY.md §2.7).  Explicit shard_map (rather than GSPMD
     inference) is what lets the Pallas kernel run per-device on pods."""
-    body = partial(
-        _stack_body, algo=algo, Lc=Lc, Lk=Lk, B=B, use_pallas=use_pallas
-    )
-    rep, shard = P(), P(None, "pairs")
+
+    def body(bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
+             sub_p, gaps):
+        off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
+        return _stack_body(
+            bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
+            sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
+            use_pallas=use_pallas, same=same, shard_offset=off,
+        )
+
+    rep = P()
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(rep, rep, shard, shard, shard, shard, rep, rep),
-        out_specs=shard,
+        in_specs=(rep,) * 9,
+        out_specs=P(None, "pairs"),
         check_vma=False,
     )
     return jax.jit(f)
@@ -191,11 +224,13 @@ class Engine:
         return jax.device_put(x, self._shard)
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
-        """Per-bucket device-resident int8 LUT-index matrices (pad = PAD)."""
+        """Per-bucket device-resident data: int8 LUT-index matrices
+        (pad = PAD), true lengths, and triangle tables for within-bucket
+        pair-id inversion."""
         from .io import native
 
         lut = ss.lut
-        arrays = []
+        arrays, lens, tris = [], [], []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
             mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
@@ -205,7 +240,14 @@ class Engine:
                     s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
                     mat[local, : len(s)] = lut[s]
             arrays.append(self._put_rep(mat))
-        return arrays
+            lens.append(
+                self._put_rep(
+                    sched.lengths_sorted[b.start : b.end].astype(np.int32)
+                )
+            )
+            js = np.arange(b.count + 1, dtype=np.int64)
+            tris.append(self._put_rep(js * (js - 1) // 2))
+        return arrays, lens, tris
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
@@ -236,33 +278,32 @@ class Engine:
             b = -(-b // self.ndev) * self.ndev
         return b, 0
 
-    def _dispatch(self, blks, buckets_dev, a, b, sub_dev, gaps_dev,
-                  Lc, Lk, B, pending) -> None:
-        """Stack blocks into (nblk, W) arrays, ship once, score in ONE jitted
+    def _dispatch(self, blks, ctx, pending) -> None:
+        """Ship one int64 start id per superblock and score in ONE jitted
         dispatch per power-of-two segment (lax.map recompiles per stack
         length, so lengths are kept to powers of two — a bounded compile set);
         results stay on device until flush."""
+        (bc, bk, lens_c, lens_k, tri, npairs_dev, sub_dev, gaps_dev,
+         Lc, Lk, B, W, same) = ctx
         off = 0
         while off < len(blks):
             seg = 1 << (len(blks) - off).bit_length() - 1
             part = blks[off : off + seg]
             off += seg
-            put2 = lambda x: jax.device_put(np.stack(x), self._shard2)
-            args = (
-                buckets_dev[b], buckets_dev[a],
-                put2([x.rows_c for _, x in part]),
-                put2([x.rows_k for _, x in part]),
-                put2([x.l1 for _, x in part]), put2([x.l2 for _, x in part]),
-                sub_dev, gaps_dev,
+            starts = self._put_rep(
+                np.array([x.start for _, x in part], dtype=np.int64)
             )
+            args = (bc, bk, lens_c, lens_k, tri, starts, npairs_dev,
+                    sub_dev, gaps_dev)
             if self.ndev > 1:
                 dev = _sharded_scorer(
-                    self.mesh, self.algo, Lc, Lk, B, self.use_pallas
+                    self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
+                    self.use_pallas, same,
                 )(*args)
             else:
                 dev = _score_stack(
-                    *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B,
-                    use_pallas=self.use_pallas,
+                    *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
+                    use_pallas=self.use_pallas, same=same,
                 )
             pending.append((dev.reshape(-1), part))
 
@@ -293,9 +334,10 @@ class Engine:
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        buckets_dev = self._bucket_arrays(ss, sched)
+        buckets_dev, lens_dev, tris_dev = self._bucket_arrays(ss, sched)
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
+        dummy_tri = self._put_rep(np.zeros(1, np.int64))
 
         stats = AlignStats()
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
@@ -349,6 +391,12 @@ class Engine:
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
             width, B = self._superblock_width(Lc, Lk, npairs)
+            ctx = (
+                buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
+                tris_dev[b] if a == b else dummy_tri,
+                self._put_rep(np.int64(npairs)), sub_dev, gaps_dev,
+                Lc, Lk, B, width, a == b,
+            )
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
             # scored with ONE dispatch per chunk (lax.map over the stack).
             chunk_blocks = max(1, FLUSH_PAIRS // width)
@@ -376,18 +424,15 @@ class Engine:
             for blk in sched.blocks(a, b, width=width):
                 inflight += take(blk)
                 if len(blks) >= chunk_blocks:
-                    self._dispatch(blks, buckets_dev, a, b, sub_dev, gaps_dev,
-                                   Lc, Lk, B, pending)
+                    self._dispatch(blks, ctx, pending)
                     blks = []
                 if inflight >= FLUSH_PAIRS:
                     if blks:
-                        self._dispatch(blks, buckets_dev, a, b, sub_dev,
-                                       gaps_dev, Lc, Lk, B, pending)
+                        self._dispatch(blks, ctx, pending)
                         blks = []
                     flush()
             if blks:
-                self._dispatch(blks, buckets_dev, a, b, sub_dev, gaps_dev,
-                               Lc, Lk, B, pending)
+                self._dispatch(blks, ctx, pending)
         flush()
         if bar:
             bar.end()

@@ -294,7 +294,7 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
             if algo == "sw":
                 part = jnp.max(acc, axis=0, keepdims=True)
             else:
-                part = jnp.sum(acc, axis=0, keepdims=True)
+                part = jnp.sum(acc, axis=0, keepdims=True, dtype=jnp.int32)
 
             @pl.when(band == 0)
             def _first():
@@ -445,7 +445,7 @@ def _make_kernel(algo: str, CD: int):
             if algo == "sw":
                 out_ref[0] = jnp.max(acc, axis=0, keepdims=True)
             else:
-                out_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
+                out_ref[0] = jnp.sum(acc, axis=0, keepdims=True, dtype=jnp.int32)
 
     return kernel
 

@@ -142,7 +142,7 @@ def _dp_steps(algo, gap, opn, ext, sm, khot, dstar, h0, hm1, xy0, B):
                 _shift_k(hd1, sm) + gap,
             )
             h = jnp.maximum(h, sm)
-            contrib = jnp.sum(jnp.where(khot, h, 0), axis=1)
+            contrib = jnp.sum(jnp.where(khot, h, 0), axis=1, dtype=jnp.int32)
             acc = jnp.where(d == dstar, contrib, acc)
             return (h, hd1, acc, d + 1), None
 
@@ -158,7 +158,7 @@ def _dp_steps(algo, gap, opn, ext, sm, khot, dstar, h0, hm1, xy0, B):
             )
             h = jnp.maximum(jnp.maximum(_shift_k(hd2, sm) + sd, x), y)
             h = jnp.maximum(h, sm)
-            contrib = jnp.sum(jnp.where(khot, h, 0), axis=1)
+            contrib = jnp.sum(jnp.where(khot, h, 0), axis=1, dtype=jnp.int32)
             acc = jnp.where(d == dstar, contrib, acc)
             return (h, hd1, x, y, acc, d + 1), None
 

@@ -93,6 +93,7 @@ class Block:
 
     Lc: int
     Lk: int
+    start: int  # first combo-local linear pair id of this block
     bucket_c: int  # bucket index of the column (longer) sequences
     bucket_k: int
     rows_c: np.ndarray  # (B,) int32 positions within bucket_c's device array
@@ -188,6 +189,7 @@ class Schedule:
             yield Block(
                 Lc=Lc,
                 Lk=Lk,
+                start=blk0,
                 bucket_c=b,
                 bucket_k=a,
                 rows_c=rc.astype(np.int32),
