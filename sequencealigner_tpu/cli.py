@@ -462,6 +462,17 @@ def run(argv: list[str] | None = None) -> int:
                          len(journal.done))
 
     ui.psection("Performing Alignments")
+    if not cfg.no_device:
+        # TPU-or-prompt, the fallback semantics of cuda_device_init
+        # (reference src/interface/seqalign_cuda.c:48-69); -F auto-confirms.
+        import jax
+
+        if all(d.platform != "tpu" for d in jax.devices()):
+            ui.pwarn("No TPU device found")
+            if not ui.print_Yn("Do you want to use the CPU instead?"):
+                ui.perr("Failed to initialize TPU device")
+                return 1
+            cfg.no_device = True
     gaps = (cfg.gap_pen, cfg.gap_opn, cfg.gap_ext)
     engine = Engine(
         cfg.algo, cfg.matrix.matrix, gaps,

@@ -84,11 +84,12 @@ def pinfol(msg: str, *args) -> None:
 
 
 def pwarn(msg: str, *args) -> None:
-    _emit("! ", msg % args if args else msg)
+    if not state.quiet:  # -Q suppresses all non-error printing
+        _emit("! ", msg % args if args else msg)
 
 
 def pwarnm(msg: str, *args) -> None:
-    if not state.no_detail:
+    if not state.quiet and not state.no_detail:
         _emit("  ! ", msg % args if args else msg)
 
 

@@ -194,3 +194,14 @@ def test_cli_trace_flag(tmp_path):
     assert rc == 0
     # a profiler trace directory must have been produced
     assert tdir.exists() and any(tdir.rglob("*"))
+
+
+def test_cli_no_tpu_fallback_prompt(tmp_path):
+    """Without -C on a TPU-less host, -F auto-confirms the CPU fallback
+    (cuda_device_init parity, seqalign_cuda.c:48-69)."""
+    fa = tmp_path / "in.fasta"
+    fa.write_text(">a\nAAAA\n>b\nAARN\n")
+    out = tmp_path / "o.h5"
+    rc = cli.run(["-i", str(fa), "-o", str(out), "-m", "blosum62", "-a", "nw",
+                  "-p", "4", "-F", "-P", "-Q"])
+    assert rc == 0 and out.exists()
