@@ -1,12 +1,13 @@
 """seqalign-tpu: TPU-native all-vs-all pairwise sequence alignment engine.
 
 Package-level JAX configuration (must precede any tracing in submodules):
-int64 on device — linear pair ids and triangle tables exceed 2^31 beyond
-~65k sequences per bucket, and without x64 JAX silently truncates them to
-int32.  All kernel compute dtypes are explicit (int8/int32), so x64 only
-affects the id arithmetic that needs it.
+linear pair ids and triangle tables are explicit int64 (they exceed 2^31
+beyond ~65k sequences per bucket).  Rather than enabling x64 globally —
+which makes Python scalar literals trace as 64-bit and breaks Mosaic kernel
+lowering — explicit 64-bit dtypes are simply respected while default
+promotion semantics stay 32-bit.
 """
 
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
+_jax.config.update("jax_explicit_x64_dtypes", "allow")

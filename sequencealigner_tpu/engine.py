@@ -220,6 +220,13 @@ class Engine:
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
 
+    def _put_i64(self, x):
+        # Explicit int64 transfer: with jax_explicit_x64_dtypes=allow only a
+        # jnp array constructed with dtype=jnp.int64 keeps 64 bits (plain
+        # device_put of an np.int64 array silently downcasts to int32).
+        arr = jnp.asarray(np.asarray(x, np.int64), dtype=jnp.int64)
+        return jax.device_put(arr, self._rep)
+
     def _put_shard(self, x):
         return jax.device_put(x, self._shard)
 
@@ -246,7 +253,7 @@ class Engine:
                 )
             )
             js = np.arange(b.count + 1, dtype=np.int64)
-            tris.append(self._put_rep(js * (js - 1) // 2))
+            tris.append(self._put_i64(js * (js - 1) // 2))
         return arrays, lens, tris
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
@@ -290,9 +297,7 @@ class Engine:
             seg = 1 << (len(blks) - off).bit_length() - 1
             part = blks[off : off + seg]
             off += seg
-            starts = self._put_rep(
-                np.array([x.start for _, x in part], dtype=np.int64)
-            )
+            starts = self._put_i64([x.start for _, x in part])
             args = (bc, bk, lens_c, lens_k, tri, starts, npairs_dev,
                     sub_dev, gaps_dev)
             if self.ndev > 1:
@@ -337,7 +342,7 @@ class Engine:
         buckets_dev, lens_dev, tris_dev = self._bucket_arrays(ss, sched)
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
-        dummy_tri = self._put_rep(np.zeros(1, np.int64))
+        dummy_tri = self._put_i64(np.zeros(1, np.int64))
 
         stats = AlignStats()
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
@@ -394,7 +399,7 @@ class Engine:
             ctx = (
                 buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
                 tris_dev[b] if a == b else dummy_tri,
-                self._put_rep(np.int64(npairs)), sub_dev, gaps_dev,
+                self._put_i64(npairs), sub_dev, gaps_dev,
                 Lc, Lk, B, width, a == b,
             )
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and

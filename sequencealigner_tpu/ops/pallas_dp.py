@@ -232,7 +232,7 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
             if algo == "nw":
                 prev[0, 0] = col * gap
             elif algo == "ga":
-                prev[0, 0] = jnp.where(col <= 0, 0, opn + (col - 1) * ext)
+                prev[0, 0] = jnp.where(col <= 0, jnp.int32(0), opn + (col - 1) * ext)
             else:
                 prev[0, 0] = jnp.zeros(wshape, jnp.int32)
             prev[1, 0] = jnp.full(wshape, sm, jnp.int32)
@@ -254,7 +254,7 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
                 state[4] = jnp.where(k0mask, y0row[None], smf)
 
         def shift(v, fill):
-            return jnp.where(k0mask, fill, pltpu.roll(v, shift=1, axis=0))
+            return jnp.where(k0mask, fill, pltpu.roll(v, shift=np.int32(1), axis=0))
 
         def step(i, carry):
             t = c * CD + i + 1  # band-local diagonal
@@ -263,7 +263,7 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
             if algo == "nw":
                 hp, wp, wp2, acc = carry
                 h = jnp.maximum(jnp.maximum(wp2 + sd, hp + gap), wp + gap)
-                acc = acc + jnp.where(khot & (t == tstar), h, 0)
+                acc = acc + jnp.where(khot & (t == tstar), h, jnp.int32(0))
                 prev[wp_par, 0, pl.ds(t, 1)] = h[KB - 1 : KB]
                 return (h, shift(h, fill_h), wp, acc)
             hp, wp, wp2, xb, ys, acc = carry
@@ -271,10 +271,10 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
             y = jnp.maximum(wp + opn, ys + ext)
             h = jnp.maximum(jnp.maximum(wp2 + sd, x), y)
             if algo == "sw":
-                h = jnp.maximum(h, 0)
+                h = jnp.maximum(h, jnp.int32(0))
                 acc = jnp.maximum(acc, h)
             else:
-                acc = acc + jnp.where(khot & (t == tstar), h, 0)
+                acc = acc + jnp.where(khot & (t == tstar), h, jnp.int32(0))
             prev[wp_par, 0, pl.ds(t, 1)] = h[KB - 1 : KB]
             prev[wp_par, 1, pl.ds(t, 1)] = y[KB - 1 : KB]
             fill_y = prev[rp, 1, pl.ds(t + KB, 1)]
@@ -284,7 +284,9 @@ def _make_banded_kernel(algo: str, CD: int, Db: int):
             carry0 = (state[0], state[1], state[2], state[3])
         else:
             carry0 = (state[0], state[1], state[2], state[3], state[4], state[5])
-        carry = jax.lax.fori_loop(0, CD, step, carry0)
+        carry = jax.lax.fori_loop(  # int32 bounds: int64 cannot lower in Mosaic
+            jnp.int32(0), jnp.int32(CD), step, carry0
+        )
         for idx in range(nstate):
             state[idx] = carry[idx]
 
@@ -394,7 +396,7 @@ def _make_kernel(algo: str, CD: int):
             return jnp.int32(0)  # sw
 
         def shift(v, fill):
-            return jnp.where(k0mask, fill, pltpu.roll(v, shift=1, axis=0))
+            return jnp.where(k0mask, fill, pltpu.roll(v, shift=np.int32(1), axis=0))
 
         # Carry layout: hp = H_{d-1} (rows k=1..), wp = shift-with-border of
         # H_{d-1}, wp2 = same for H_{d-2}; affine adds xb = X_{d-1},
@@ -405,7 +407,7 @@ def _make_kernel(algo: str, CD: int):
         def _init():
             smf = jnp.full(shape, sm, jnp.int32)
             state[0] = smf  # H_0 rows k>=1 are all sentinel
-            state[1] = jnp.where(k0mask, 0, smf)  # shift(H_0): border(0) = 0
+            state[1] = jnp.where(k0mask, jnp.int32(0), smf)  # shift(H_0): border 0
             state[2] = smf  # shift(H_{-1})
             state[3 if algo == "nw" else 5] = jnp.zeros(shape, jnp.int32)
             if algo != "nw":
@@ -418,24 +420,26 @@ def _make_kernel(algo: str, CD: int):
             if algo == "nw":
                 hp, wp, wp2, acc = carry
                 h = jnp.maximum(jnp.maximum(wp2 + sd, hp + gap), wp + gap)
-                acc = acc + jnp.where(khot & (d == dstar), h, 0)
+                acc = acc + jnp.where(khot & (d == dstar), h, jnp.int32(0))
                 return (h, shift(h, border(d)), wp, acc)
             hp, wp, wp2, xb, ys, acc = carry
             x = jnp.maximum(hp + opn, xb + ext)
             y = jnp.maximum(wp + opn, ys + ext)
             h = jnp.maximum(jnp.maximum(wp2 + sd, x), y)
             if algo == "sw":
-                h = jnp.maximum(h, 0)
+                h = jnp.maximum(h, jnp.int32(0))
                 acc = jnp.maximum(acc, h)
             else:
-                acc = acc + jnp.where(khot & (d == dstar), h, 0)
+                acc = acc + jnp.where(khot & (d == dstar), h, jnp.int32(0))
             return (h, shift(h, border(d)), wp, x, shift(y, sm), acc)
 
         if algo == "nw":
             carry0 = (state[0], state[1], state[2], state[3])
         else:
             carry0 = (state[0], state[1], state[2], state[3], state[4], state[5])
-        carry = jax.lax.fori_loop(0, CD, step, carry0)
+        carry = jax.lax.fori_loop(  # int32 bounds: int64 cannot lower in Mosaic
+            jnp.int32(0), jnp.int32(CD), step, carry0
+        )
         for idx in range(nstate):
             state[idx] = carry[idx]
 

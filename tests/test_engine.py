@@ -173,3 +173,19 @@ def test_engine_long_sequences_streamed_path():
     i0, i1 = M.lut[seqs[0]], M.lut[seqs[1]]
     want = oracle.ga_affine(i0, i1, M.matrix, -10, -1)
     assert store.get_pair(0, 1) == want
+
+
+def test_int64_pair_ids_preserved_on_device():
+    """Linear pair ids must stay 64-bit on device (explicit_x64_dtypes=allow;
+    a plain device_put would silently truncate past 2^31)."""
+    import jax
+    import jax.numpy as jnp
+
+    eng = Engine("nw", M.matrix, (-4, 0, 0), device_kind="cpu")
+    big = eng._put_i64(np.array([2**40 + 7]))
+    assert big.dtype == jnp.int64
+    assert int(big[0]) == 2**40 + 7
+    # the in-jit id arithmetic keeps 64 bits too
+    f = jax.jit(lambda t: t + jnp.arange(4, dtype=jnp.int64))
+    out = f(big[0])
+    assert out.dtype == jnp.int64 and int(out[3]) == 2**40 + 10
