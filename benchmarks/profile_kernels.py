@@ -24,9 +24,11 @@ def data(Lc, Lk, n, maxlen=True):
     l1 = np.full(n, Lc, np.int32); l2 = np.full(n, Lk, np.int32)
     return [jax.device_put(x) for x in (s1, s2, l1, l2, sub_p, gaps)]
 
-def rate(algo, Lc, Lk, B, S_lo, S_hi, check=False):
+def rate(algo, Lc, Lk, B, S_lo, S_hi, check=False, banded=False):
     d_lo = data(Lc, Lk, S_lo * B); d_hi = data(Lc, Lk, S_hi * B)
-    f = lambda d: pallas_dp.align_superblock(*d, algo=algo, Lc=Lc, Lk=Lk, B=B)
+    fn = (pallas_dp.align_superblock_banded
+          if banded and pallas_dp.use_banded(Lk) else pallas_dp.align_superblock)
+    f = lambda d: fn(*d, algo=algo, Lc=Lc, Lk=Lk, B=B)
     r = np.asarray(f(d_lo))
     if check:
         ref = np.asarray(align_block(*d_lo, algo=algo, Lc=Lc, Lk=Lk))
@@ -49,5 +51,6 @@ def rate(algo, Lc, Lk, B, S_lo, S_hi, check=False):
 
 import sys
 for arg in sys.argv[1:]:
-    algo, Lc, Lk, B, slo, shi, *chk = arg.split(",")
-    rate(algo, int(Lc), int(Lk), int(B), int(slo), int(shi), check=bool(chk))
+    algo, Lc, Lk, B, slo, shi, *opts = arg.split(",")
+    rate(algo, int(Lc), int(Lk), int(B), int(slo), int(shi),
+         check="check" in opts, banded="banded" in opts)
