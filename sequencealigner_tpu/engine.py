@@ -113,15 +113,24 @@ def _stack_body(
                 if pallas_dp.use_banded(Lk)
                 else pallas_dp.align_superblock
             )
-            return score(
+            out = score(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
             )
-        if (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
+        elif (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
             # Long pairs: never materialize the O(Lc*Lk) score grid.
-            return align_block_streamed(
+            out = align_block_streamed(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk
             )
-        return align_block(s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk)
+        else:
+            out = align_block(
+                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk
+            )
+        # Short-pair scores provably fit int16 (|sub| <= 127 in the int8
+        # stream, |gap steps| <= 127 per cell): halve device->host transfer
+        # (the host link is the e2e bottleneck; scores upcast after fetch).
+        if (Lc + Lk) * 127 < 32767:
+            out = out.astype(jnp.int16)
+        return out
 
     return jax.lax.map(body, starts)
 
@@ -353,18 +362,23 @@ class Engine:
             if not pending and merger is None:
                 inflight = 0
                 return
-            if len(pending) > 1:
-                combined = np.asarray(jnp.concatenate([d for d, _ in pending]))
-            elif pending:
-                combined = np.asarray(pending[0][0])
-            else:
-                combined = np.zeros(0, np.int32)
+            # Fetch per dtype group: short-pair dispatches return int16 to
+            # halve transfer; concatenating with int32 would upcast on device
+            # and forfeit the saving.
+            fetched: dict = {}
+            for dt in {d.dtype for d, _ in pending}:
+                group = [d for d, _ in pending if d.dtype == dt]
+                catd = jnp.concatenate(group) if len(group) > 1 else group[0]
+                fetched[dt] = np.asarray(catd).astype(np.int32)
+            offs = {dt: 0 for dt in fetched}
             off = 0
             ii, jj, sc, committed = [], [], [], []
-            for _, blks in pending:
+            for dev, blks in pending:
+                buf = fetched[dev.dtype]
+                off = offs[dev.dtype]
                 for gidx, blk in blks:
                     n = len(blk.valid)
-                    scores = combined[off : off + n]
+                    scores = buf[off : off + n]
                     off += n
                     v = blk.valid
                     ii.append(blk.orig_i[v])
@@ -375,6 +389,7 @@ class Engine:
                     stats.cells += blk.cells
                     if bar:
                         bar.add(blk.n_valid)
+                offs[dev.dtype] = off
             cat = lambda xs, dt: (
                 np.concatenate(xs) if xs else np.zeros(0, dt)
             )

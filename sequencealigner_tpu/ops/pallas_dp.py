@@ -129,9 +129,10 @@ KB = 32
 
 
 def use_banded(Lk: int) -> bool:
-    """Banded sweep pays off once there is more than one band: measured on
-    v5e it is ~2x at Lk=256 and ~2.5x at Lk=1024, parity at Lk=64."""
-    return Lk > KB
+    """Banded sweep pays off once bands amortize their per-step stream
+    reads/writes: measured on v5e it is ~2x at Lk=256 and ~2x at Lk=1024,
+    but LOSES at Lk=64 (9.3 vs 12.6 true GCUPS with the int8 skew)."""
+    return Lk > 2 * KB
 
 
 #: Per-pair budget for the materialized int8 score stream (HBM); beyond this
