@@ -66,9 +66,17 @@ if _cache_dir and _cache_dir != "0":
 
 
 def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the pair axis.  device_kind 'cpu' is the -C fallback
-    (the reference's CPU path, seqalign_cuda.c:318-328)."""
-    devs = jax.devices("cpu") if device_kind == "cpu" else jax.devices()
+    """1-D mesh over the pair axis, LOCAL devices only: in multi-host runs
+    each host's engine scores its own block stripe on its own chips and
+    cross-host merging is explicit (parallel/multihost.py) — a global-device
+    mesh would instead require all hosts in lockstep for every dispatch.
+    device_kind 'cpu' is the -C fallback (seqalign_cuda.c:318-328)."""
+    devs = [
+        d for d in jax.local_devices()
+        if device_kind == "auto" or d.platform == device_kind
+    ]
+    if device_kind == "cpu" and not devs:
+        devs = jax.devices("cpu")
     if n_devices:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("pairs",))

@@ -3,8 +3,13 @@ must cover the pair space exactly once across hosts, and merged partitioned
 runs must reproduce the unpartitioned result bit-for-bit (SURVEY.md §2.7's
 multi-host pair-block sharding plan)."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 from sequencealigner_tpu import matrices
 from sequencealigner_tpu.engine import Engine
@@ -138,3 +143,63 @@ def test_partition_with_merger_completes_every_store():
             if len(s):
                 st.fill_pairs(i, j, s)
         np.testing.assert_array_equal(_matrix(st), _matrix(full))
+
+
+def test_two_process_distributed_merge(tmp_path):
+    """Real jax.distributed run: two processes, striped blocks, gloo
+    allgather merge — both hosts' stores must converge to the same full
+    matrix."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import os, sys
+        proc_id = int(sys.argv[1])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                                   num_processes=2, process_id=proc_id,
+                                   local_device_ids=[proc_id])
+        import numpy as np
+        from sequencealigner_tpu import matrices
+        from sequencealigner_tpu.engine import Engine
+        from sequencealigner_tpu.io.input import SequenceSet
+        from sequencealigner_tpu.io.output import OutputStore
+        from sequencealigner_tpu.parallel import multihost
+
+        m = matrices.get("blosum62")
+        rng = np.random.default_rng(1)
+        seqs = [rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                           int(rng.integers(4, 30))) for _ in range(20)]
+        ss = SequenceSet.from_list(seqs, m.lut)
+        store = OutputStore(ss.num, triangular=False, spill=False)
+        eng = Engine("ga", m.matrix, (0, -10, -1), target_cells=1 << 12)
+        eng.align_all(ss, store, progress=False, partition=(proc_id, 2),
+                      merger=multihost.TripletMerger(2))
+        np.save(r"{tmp_path}" + f"/mh_{{proc_id}}.npy",
+                np.asarray(store.matrix).reshape(ss.num, ss.num))
+    """))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i)],
+                         cwd=str(REPO_ROOT), env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode()[-2000:]
+    a = np.load(tmp_path / "mh_0.npy")
+    b = np.load(tmp_path / "mh_1.npy")
+    np.testing.assert_array_equal(a, b)
+    assert (a != 0).any() and (a == a.T).all()
