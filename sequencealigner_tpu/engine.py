@@ -230,8 +230,6 @@ class Engine:
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
-        self._shard = NamedSharding(self.mesh, P("pairs"))
-        self._shard2 = NamedSharding(self.mesh, P(None, "pairs"))
         self._rep = NamedSharding(self.mesh, P())
 
     def _put_rep(self, x):
@@ -243,9 +241,6 @@ class Engine:
         # device_put of an np.int64 array silently downcasts to int32).
         arr = jnp.asarray(np.asarray(x, np.int64), dtype=jnp.int64)
         return jax.device_put(arr, self._rep)
-
-    def _put_shard(self, x):
-        return jax.device_put(x, self._shard)
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
         """Per-bucket device-resident data: int8 LUT-index matrices
