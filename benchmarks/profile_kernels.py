@@ -49,7 +49,6 @@ def rate(algo, Lc, Lk, B, S_lo, S_hi, check=False, banded=False):
     print(f"{algo} Lc={Lc} Lk={Lk} B={B}: {dt/nsb*1e6:.0f} us/sblk  "
           f"padded={padded/dt/1e9:.1f} Gcell/s  true={true/dt/1e9:.1f} GCUPS (CD={CD})")
 
-import sys
 for arg in sys.argv[1:]:
     algo, Lc, Lk, B, slo, shi, *opts = arg.split(",")
     rate(algo, int(Lc), int(Lk), int(B), int(slo), int(shi),

@@ -12,6 +12,7 @@ Usage: python benchmarks/run_configs.py [--scale 1.0] [--configs 1,2,3,4]
 
 import argparse
 import json
+import zlib
 import sys
 import time
 from pathlib import Path
@@ -42,7 +43,7 @@ def run_config(name, algo, matrix_name, n, lo, hi, alphabet, gaps,
     from sequencealigner_tpu.engine import Engine
 
     m = matrices.get(matrix_name)
-    rng = np.random.default_rng(hash(name) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     ss = make_set(rng, n, lo, hi, alphabet, m.lut)
     if filter_threshold:
         ss, _ = filt.filter_sequences(ss, filter_threshold, progress=False)

@@ -51,17 +51,39 @@ class Journal:
         self.path = Path(path)
         self.done: set[int] = set()
         if self.path.exists():
-            with open(self.path) as f:
-                first = f.readline()
+            with open(self.path, "rb") as f:
+                raw = f.read()
+            lines = raw.split(b"\n")
+            first = lines[0].decode() if lines else ""
+            try:
                 existing = json.loads(first) if first.strip() else None
-                if existing != header:
-                    raise CheckpointError(
-                        "Checkpoint was created with a different configuration"
-                    )
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        self.done.update(json.loads(line))
+            except json.JSONDecodeError:
+                raise CheckpointError("Checkpoint journal header is corrupt")
+            if existing != header:
+                raise CheckpointError(
+                    "Checkpoint was created with a different configuration"
+                )
+            # A crash mid-commit can tear the LAST line; tolerate it by
+            # truncating to the last complete line (that flush is simply
+            # recomputed).  A torn line anywhere else is real corruption.
+            good_end = len(first.encode()) + 1
+            for k, line in enumerate(lines[1:], start=1):
+                if not line.strip():
+                    good_end += len(line) + 1
+                    continue
+                try:
+                    self.done.update(json.loads(line))
+                except json.JSONDecodeError:
+                    if any(x.strip() for x in lines[k + 1 :]):
+                        raise CheckpointError(
+                            "Checkpoint journal is corrupt mid-file"
+                        )
+                    break
+                good_end += len(line) + 1
+            good_end = min(good_end, len(raw))
+            if good_end < len(raw):
+                with open(self.path, "r+b") as f:
+                    f.truncate(good_end)
             self._f = open(self.path, "a")
         else:
             self.path.parent.mkdir(parents=True, exist_ok=True)

@@ -84,7 +84,7 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
 
 def _stack_body(
     bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, shard_offset=None,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, shard_offset=None,
 ):
     """Score a stack of superblocks in a single dispatch: lax.map over the
     (nblk,) superblock start ids compiles the per-superblock body once and
@@ -133,10 +133,11 @@ def _stack_body(
             out = align_block(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk
             )
-        # Short-pair scores provably fit int16 (|sub| <= 127 in the int8
-        # stream, |gap steps| <= 127 per cell): halve device->host transfer
-        # (the host link is the e2e bottleneck; scores upcast after fetch).
-        if (Lc + Lk) * 127 < 32767:
+        if int16_ok:
+            # Scores provably fit int16 (bound computed by the engine from
+            # the actual gap penalties and the int8 substitution range):
+            # halve device->host transfer, the e2e bottleneck on slow host
+            # links; scores upcast right after the fetch.
             out = out.astype(jnp.int16)
         return out
 
@@ -145,23 +146,25 @@ def _stack_body(
 
 @partial(
     jax.jit,
-    static_argnames=("algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same"),
+    static_argnames=(
+        "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "int16_ok",
+    ),
 )
 def _score_stack(
     bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok,
 ):
     return _stack_body(
         bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
         algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
-        same=same,
+        same=same, int16_ok=int16_ok,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_scorer(
     mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
-    use_pallas: bool, same: bool,
+    use_pallas: bool, same: bool, int16_ok: bool,
 ):
     """SPMD scorer over a >1-device mesh: each superblock is split on the
     pair axis with shard_map — sequences/LUT replicated, zero collectives
@@ -175,7 +178,8 @@ def _sharded_scorer(
         return _stack_body(
             bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
             sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
-            use_pallas=use_pallas, same=same, shard_offset=off,
+            use_pallas=use_pallas, same=same, int16_ok=int16_ok,
+            shard_offset=off,
         )
 
     rep = P()
@@ -297,6 +301,13 @@ class Engine:
             b = -(-b // self.ndev) * self.ndev
         return b, 0
 
+    def _int16_ok(self, Lc: int, Lk: int) -> bool:
+        """Whether every score of an (Lc, Lk)-bucket pair provably fits
+        int16: any alignment path has at most Lc + Lk steps, each changing
+        the score by at most max(|sub| <= 127, |gap|, |open|, |extend|)."""
+        step = max(127, *(abs(int(g)) for g in np.asarray(self.gaps)))
+        return (Lc + Lk) * step < 32767
+
     def _dispatch(self, blks, ctx, pending) -> None:
         """Ship one int64 start id per superblock and score in ONE jitted
         dispatch per power-of-two segment (lax.map recompiles per stack
@@ -304,6 +315,7 @@ class Engine:
         results stay on device until flush."""
         (bc, bk, lens_c, lens_k, tri, npairs_dev, sub_dev, gaps_dev,
          Lc, Lk, B, W, same) = ctx
+        int16_ok = self._int16_ok(Lc, Lk)
         off = 0
         while off < len(blks):
             seg = 1 << (len(blks) - off).bit_length() - 1
@@ -315,12 +327,12 @@ class Engine:
             if self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
-                    self.use_pallas, same,
+                    self.use_pallas, same, int16_ok,
                 )(*args)
             else:
                 dev = _score_stack(
                     *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
-                    use_pallas=self.use_pallas, same=same,
+                    use_pallas=self.use_pallas, same=same, int16_ok=int16_ok,
                 )
             pending.append((dev.reshape(-1), part))
 
@@ -358,6 +370,7 @@ class Engine:
 
         stats = AlignStats()
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
+        resumed_triplets: list = []  # journaled blocks to re-merge (multihost)
         inflight = 0
 
         def flush():
@@ -396,12 +409,22 @@ class Engine:
             cat = lambda xs, dt: (
                 np.concatenate(xs) if xs else np.zeros(0, dt)
             )
+            if resumed_triplets:
+                # Multi-host resume: re-contribute journaled blocks' scores
+                # (read back from this host's persistent store) so peers that
+                # crashed before their own fill converge too.
+                ii.extend(t[0] for t in resumed_triplets)
+                jj.extend(t[1] for t in resumed_triplets)
+                sc.extend(t[2] for t in resumed_triplets)
+                resumed_triplets.clear()
             oi, oj, os_ = cat(ii, np.int64), cat(jj, np.int64), cat(sc, np.int32)
             if merger is not None:
                 oi, oj, os_ = merger(oi, oj, os_)
             if store is not None and len(os_):
                 store.fill_pairs(oi, oj, os_)
             if journal is not None:
+                if store is not None:
+                    store.sync()  # scores durable no later than the journal
                 journal.commit(committed)
             pending.clear()
             inflight = 0
@@ -438,6 +461,12 @@ class Engine:
                     return len(blk.valid)
                 if journal is not None and idx in journal.done:
                     stats.pairs_resumed += blk.n_valid
+                    if merger is not None and store is not None:
+                        v = blk.valid
+                        resumed_triplets.append((
+                            blk.orig_i[v], blk.orig_j[v],
+                            store.read_pairs(blk.orig_i[v], blk.orig_j[v]),
+                        ))
                     if bar:
                         bar.add(blk.n_valid)
                     return len(blk.valid)

@@ -79,6 +79,22 @@ class OutputStore:
                 self.matrix[i * self.dim + j] = s
                 self.matrix[j * self.dim + i] = s
 
+    def read_pairs(self, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        """Vectorized score read for pairs i < j (the inverse of fill_pairs;
+        used to re-contribute resumed blocks in multi-host runs)."""
+        i = np.asarray(i, dtype=np.int64)
+        j = np.asarray(j, dtype=np.int64)
+        if self.triangular:
+            return np.asarray(self.matrix[j * (j - 1) // 2 + i])
+        return np.asarray(self.matrix[i * self.dim + j])
+
+    def sync(self) -> None:
+        """Flush a file-backed matrix to disk (no-op for RAM stores) — called
+        before the checkpoint journal commits so journaled blocks' scores are
+        durable no later than the journal entry."""
+        if isinstance(self.matrix, np.memmap):
+            self.matrix.flush()
+
     def get_pair(self, i: int, j: int) -> int:
         if i == j:
             return 0

@@ -96,8 +96,6 @@ class Block:
     start: int  # first combo-local linear pair id of this block
     bucket_c: int  # bucket index of the column (longer) sequences
     bucket_k: int
-    rows_c: np.ndarray  # (B,) int32 positions within bucket_c's device array
-    rows_k: np.ndarray  # (B,) int32
     orig_i: np.ndarray  # (B,) int64 original indices, i < j
     orig_j: np.ndarray
     l1: np.ndarray  # (B,) int32 true lengths (columns)
@@ -192,8 +190,6 @@ class Schedule:
                 start=blk0,
                 bucket_c=b,
                 bucket_k=a,
-                rows_c=rc.astype(np.int32),
-                rows_k=rk.astype(np.int32),
                 orig_i=oi.astype(np.int64),
                 orig_j=oj.astype(np.int64),
                 l1=self.lengths_sorted[sc].astype(np.int32),

@@ -129,3 +129,38 @@ def test_cli_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(
             f1["/similarity_matrix"][:], f2["/similarity_matrix"][:]
         )
+
+
+def test_journal_tolerates_torn_tail(tmp_path):
+    """A crash mid-commit tears the last line; resume must truncate it and
+    keep earlier commits (the docstring's 'lose only the tail flush')."""
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    j = ckpt.Journal(p, _header(ss))
+    j.commit([0, 1])
+    j.commit([2])
+    j.close()
+    with open(p, "a") as f:
+        f.write("[7, 8")  # torn tail, no newline
+    j2 = ckpt.Journal(p, _header(ss))
+    assert j2.done == {0, 1, 2}
+    j2.commit([3])
+    j2.close()
+    j3 = ckpt.Journal(p, _header(ss))
+    assert j3.done == {0, 1, 2, 3}
+    j3.close()
+
+
+def test_journal_rejects_mid_file_corruption(tmp_path):
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    j = ckpt.Journal(p, _header(ss))
+    j.commit([0])
+    j.close()
+    lines = p.read_text().splitlines()
+    lines.insert(1, "[5, 6")  # torn line NOT at the tail
+    p.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ckpt.CheckpointError):
+        ckpt.Journal(p, _header(ss))

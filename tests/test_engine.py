@@ -189,3 +189,23 @@ def test_int64_pair_ids_preserved_on_device():
     f = jax.jit(lambda t: t + jnp.arange(4, dtype=jnp.int64))
     out = f(big[0])
     assert out.dtype == jnp.int64 and int(out[3]) == 2**40 + 10
+
+
+def test_large_gap_penalties_exceed_int16():
+    """Scores beyond int16 range (legal with large -p) must come back exact —
+    the int16 transfer shortcut may only engage when the bound allows."""
+    rng = np.random.default_rng(31)
+    seqs = [
+        rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8), ln)
+        for ln in (1, 120, 128)
+    ]
+    ss = SequenceSet.from_list(seqs, M.lut)
+    gaps = (-300, 0, 0)
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    Engine("nw", M.matrix, gaps, device_kind="cpu").align_all(
+        ss, store, progress=False
+    )
+    want = oracle_matrix(ss, "nw", gaps)
+    got = np.asarray(store.matrix).reshape(ss.num, ss.num)
+    assert want.min() < -32768  # the scenario really exceeds int16
+    np.testing.assert_array_equal(got, want)

@@ -2,6 +2,8 @@
 (the TPU build of the same kernel is validated on hardware; see
 .claude/skills/verify)."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -36,7 +38,7 @@ def random_block(rng, n, Lc, Lk):
     "algo,gaps", [("nw", (-4, 0, 0)), ("ga", (0, -10, -1)), ("sw", (0, -8, -2))]
 )
 def test_kernel_matches_oracle(algo, gaps):
-    rng = np.random.default_rng(hash(algo) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(algo.encode()))
     B, Lc, Lk = 128, 21, 13
     s1, s2, l1, l2 = random_block(rng, B, Lc, Lk)
     got = np.asarray(
@@ -109,7 +111,7 @@ def test_geometry_helpers():
 def test_banded_kernel_matches_oracle(algo, gaps):
     from sequencealigner_tpu.ops.pallas_dp import align_superblock_banded
 
-    rng = np.random.default_rng(hash(algo) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(algo.encode()) % 2**31)
     B, Lc, Lk = 128, 80, 70  # nb = 3 bands, last band partially padded
     s1, s2, l1, l2 = random_block(rng, B, Lc, Lk)
     got = np.asarray(

@@ -203,3 +203,55 @@ def test_two_process_distributed_merge(tmp_path):
     b = np.load(tmp_path / "mh_1.npy")
     np.testing.assert_array_equal(a, b)
     assert (a != 0).any() and (a == a.T).all()
+
+
+def test_resumed_blocks_recontributed_to_merger(tmp_path):
+    """Multi-host resume: blocks skipped via the journal must still flow
+    through the merger (read back from the persistent store), so peer hosts
+    that crashed before filling converge too."""
+    from sequencealigner_tpu import checkpoint as ckpt
+
+    rng = np.random.default_rng(13)
+    ss = _random_set(rng, 20)
+    gaps = (0, -10, -1)
+    eng = Engine("ga", M.matrix, gaps, device_kind="cpu", target_cells=1 << 12)
+
+    full = OutputStore(ss.num, triangular=False, spill=False)
+    eng.align_all(ss, full, progress=False)
+    want = _matrix(full)
+
+    header = ckpt.config_fingerprint(
+        algo="ga", gaps=gaps, matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=False,
+    )
+    spath = tmp_path / "h0.scores"
+    jpath = tmp_path / "h0.ckpt"
+
+    received = []
+
+    class Rec:
+        def __call__(self, i, j, s):
+            received.append((i.copy(), j.copy(), s.copy()))
+            return i, j, s
+
+    st = OutputStore(ss.num, triangular=False, spill=False, persist_path=spath)
+    j0 = ckpt.Journal(jpath, header)
+    eng.align_all(ss, st, progress=False, partition=(0, 2), merger=Rec(),
+                  journal=j0)
+    j0.close()
+    first_pairs = sum(len(s) for _, _, s in received)
+    assert first_pairs > 0
+    received.clear()
+
+    # Resume: every host-0 block is journaled; the merger must still see all
+    # of host 0's pairs with the stored scores.
+    st2 = OutputStore(ss.num, triangular=False, spill=False, persist_path=spath)
+    j1 = ckpt.Journal(jpath, header)
+    stats = eng.align_all(ss, st2, progress=False, partition=(0, 2),
+                          merger=Rec(), journal=j1)
+    j1.close()
+    assert stats.pairs == 0 and stats.pairs_resumed > 0
+    got_pairs = sum(len(s) for _, _, s in received)
+    assert got_pairs == first_pairs
+    for i, j, s in received:
+        np.testing.assert_array_equal(s, want[i, j])

@@ -1,6 +1,8 @@
 """XLA wavefront DP vs the NumPy oracle: bit-exact over random blocks with
 mixed lengths, all three algorithms, protein + nucleotide matrices."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -117,7 +119,7 @@ def test_single_cell_tables():
 def test_streamed_matches_materialized(algo, gaps):
     from sequencealigner_tpu.ops.xla_dp import align_block_streamed
 
-    rng = np.random.default_rng(hash(algo) % 2**30)
+    rng = np.random.default_rng(zlib.crc32(algo.encode()) % 2**30)
     B, Lc, Lk = 16, 150, 90  # several CD=64 chunks, mixed lengths
     l1 = rng.integers(1, Lc + 1, B).astype(np.int32)
     l2 = rng.integers(1, Lk + 1, B).astype(np.int32)
