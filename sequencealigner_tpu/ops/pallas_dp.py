@@ -92,28 +92,34 @@ def pick_S(B: int, Kpad: int, Dpad: int, target_bytes: int = 256 << 20) -> int:
     return max(1, min(256, int(s)))
 
 
-def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int):
-    """(N, Lc) x (N, Lk) index arrays -> (N, Kpad, Dpad) int8 skewed grid:
-    out[n, r, d-1] = sub[s2[n, r], s1[n, d-r-2]] at valid cells (state row r
-    holds DP row k = r + 1; d is the 1-based diagonal), PAD_MARK elsewhere."""
+def _sub0_grid(s1, s2, sub_p):
+    """(N, Lk, Lc) int8 substitution grid sub[s2[k0], s1[c0]] via int8 MXU
+    one-hot contractions (exact; ~15% faster than bf16 measured)."""
     i8 = jnp.int8
     subm = jnp.full((PAD + 1, PAD + 1), PAD_MARK, i8)
     subm = subm.at[:24, :24].set(jnp.asarray(sub_p[:24, :24], i8))
-    # int8 MXU one-hot contraction (exact; ~15% faster than bf16 measured).
     oh1 = jax.nn.one_hot(s1, PAD + 1, dtype=i8)  # (N, Lc, 25)
     oh2 = jax.nn.one_hot(s2, PAD + 1, dtype=i8)  # (N, Lk, 25)
     prof2 = jnp.einsum(
         "nkc,cd->nkd", oh2, subm, preferred_element_type=jnp.int32
     ).astype(i8)  # (N, Lk, 25)
-    sub0 = jnp.einsum(
+    return jnp.einsum(
         "nkd,ncd->nkc", prof2, oh1, preferred_element_type=jnp.int32
-    ).astype(i8)  # (N, Lk, Lc):  sub[s2[k0], s1[c0]]
+    ).astype(i8)
 
-    # Single-pad skew via flat reshape: P[r, c] = sub0[r, c-1] (one leading
-    # marker column), then OUT[r, j] = P[r, j-r] = sub0[r, j-r-1] — row r
-    # shifted right by r+1.  Width W is chosen so (a) W-1 >= Dpad and
-    # (b) W - Kpad >= Lc + 1, which makes every flat-reshape wrap read (the
-    # j < r positions of row r reading row r-1's tail) land in marker columns.
+
+def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int):
+    """(N, Lc) x (N, Lk) index arrays -> (N, Kpad, Dpad) int8 skewed grid:
+    out[n, r, d-1] = sub[s2[n, r], s1[n, d-r-2]] at valid cells (state row r
+    holds DP row k = r + 1; d is the 1-based diagonal), PAD_MARK elsewhere.
+
+    Single-pad skew via flat reshape: P[r, c] = sub0[r, c-1] (one leading
+    marker column), then OUT[r, j] = P[r, j-r] = sub0[r, j-r-1] — row r
+    shifted right by r+1.  Width W is chosen so (a) W-1 >= Dpad and
+    (b) W - Kpad >= Lc + 1, which makes every flat-reshape wrap read (the
+    j < r positions of row r reading row r-1's tail) land in marker columns.
+    """
+    sub0 = _sub0_grid(s1, s2, sub_p)
     n = s1.shape[0]
     W = max(Dpad + 1, Lc + Kpad + 1)
     P = jnp.pad(
@@ -122,6 +128,27 @@ def build_skewed_scores(s1, s2, sub_p, *, Lc: int, Lk: int, Kpad: int, Dpad: int
     )  # (N, Kpad, W)
     out = P.reshape(n, Kpad * W)[:, : Kpad * (W - 1)].reshape(n, Kpad, W - 1)
     return out[:, :, :Dpad]
+
+
+def build_skewed_stream(
+    s1, s2, sub_p, *, S: int, B: int, Lc: int, Lk: int, Kpad: int, Dpad: int
+):
+    """Kernel-ready (S, Dpad, Kpad, B) score stream — semantically
+    build_skewed_scores reshaped/transposed, but the pair axis is moved to
+    lanes BEFORE the pad-skew copy (the transpose then touches the small
+    (Lk, Lc) grid, not the (Kpad, Dpad) padded one): measured 1.8x faster."""
+    sub0 = _sub0_grid(s1, s2, sub_p)  # (S*B, Lk, Lc)
+    t = sub0.reshape(S, B, Lk, Lc).transpose(0, 2, 3, 1)  # (S, Lk, Lc, B)
+    W = max(Dpad + 1, Lc + Kpad + 1)
+    P = jnp.pad(
+        t, ((0, 0), (0, Kpad - Lk), (1, W - Lc - 1), (0, 0)),
+        constant_values=PAD_MARK,
+    )  # (S, Kpad, W, B)
+    out = (
+        P.reshape(S, Kpad * W, B)[:, : Kpad * (W - 1), :]
+        .reshape(S, Kpad, W - 1, B)
+    )
+    return out[:, :, :Dpad, :].transpose(0, 2, 1, 3)  # (S, Dpad, Kpad, B)
 
 
 #: Band height for the banded kernel (int8 sublane tile).
@@ -172,18 +199,7 @@ def build_banded_scores(
     cells (t is the band-local 1-based diagonal; DP row k = bi*KB + r + 1),
     PAD_MARK elsewhere.  Same single-pad flat-reshape skew as
     build_skewed_scores, vectorized over the band dimension."""
-    i8 = jnp.int8
-    subm = jnp.full((PAD + 1, PAD + 1), PAD_MARK, i8)
-    subm = subm.at[:24, :24].set(jnp.asarray(sub_p[:24, :24], i8))
-    oh1 = jax.nn.one_hot(s1, PAD + 1, dtype=i8)
-    oh2 = jax.nn.one_hot(s2, PAD + 1, dtype=i8)
-    prof2 = jnp.einsum(
-        "nkc,cd->nkd", oh2, subm, preferred_element_type=jnp.int32
-    ).astype(i8)
-    sub0 = jnp.einsum(
-        "nkd,ncd->nkc", prof2, oh1, preferred_element_type=jnp.int32
-    ).astype(i8)  # (N, Lk, Lc)
-
+    sub0 = _sub0_grid(s1, s2, sub_p)  # (N, Lk, Lc)
     n = s1.shape[0]
     W = max(Db + 1, Lc + KB + 1)
     P = jnp.pad(
@@ -194,6 +210,25 @@ def build_banded_scores(
         P.reshape(n, nb, KB * W)[:, :, : KB * (W - 1)].reshape(n, nb, KB, W - 1)
     )
     return out[:, :, :, :Db]
+
+
+def build_banded_stream(
+    s1, s2, sub_p, *, S: int, B: int, Lc: int, Lk: int, nb: int, Db: int
+):
+    """Kernel-ready (S, nb, Db, KB, B) banded score stream with the pair axis
+    moved to lanes before the pad-skew copy (see build_skewed_stream)."""
+    sub0 = _sub0_grid(s1, s2, sub_p)  # (S*B, Lk, Lc)
+    t = sub0.reshape(S, B, Lk, Lc).transpose(0, 2, 3, 1)  # (S, Lk, Lc, B)
+    W = max(Db + 1, Lc + KB + 1)
+    P = jnp.pad(
+        t, ((0, 0), (0, nb * KB - Lk), (1, W - Lc - 1), (0, 0)),
+        constant_values=PAD_MARK,
+    ).reshape(S, nb, KB, W, B)
+    out = (
+        P.reshape(S, nb, KB * W, B)[:, :, : KB * (W - 1), :]
+        .reshape(S, nb, KB, W - 1, B)
+    )
+    return out[:, :, :, :Db, :].transpose(0, 1, 3, 2, 4)  # (S, nb, Db, KB, B)
 
 
 def _make_banded_kernel(algo: str, CD: int, Db: int):
@@ -331,9 +366,9 @@ def align_superblock_banded(
     S = n // B
     nb, CD, Db = banded_geometry(Lc, Lk, B)
 
-    sk = build_banded_scores(s1, s2, sub_p, Lc=Lc, Lk=Lk, nb=nb, Db=Db)
-    # (S, B, nb, KB, Db) -> (S, nb, Db, KB, B)
-    sk = sk.reshape(S, B, nb, KB, Db).transpose(0, 2, 4, 3, 1)
+    sk = build_banded_stream(
+        s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, nb=nb, Db=Db
+    )  # (S, nb, Db, KB, B)
     l1b = l1.reshape(S, 1, B).astype(jnp.int32)
     l2b = l2.reshape(S, 1, B).astype(jnp.int32)
     gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
@@ -485,8 +520,9 @@ def align_superblock(
     CD = pick_CD(D, Kpad, B)
     Dpad = round_up(D, CD)
 
-    sk = build_skewed_scores(s1, s2, sub_p, Lc=Lc, Lk=Lk, Kpad=Kpad, Dpad=Dpad)
-    sk = sk.reshape(S, B, Kpad, Dpad).transpose(0, 3, 2, 1)  # (S, Dpad, Kpad, B)
+    sk = build_skewed_stream(
+        s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, Dpad=Dpad
+    )  # (S, Dpad, Kpad, B)
     l1b = l1.reshape(S, 1, B).astype(jnp.int32)
     l2b = l2.reshape(S, 1, B).astype(jnp.int32)
     gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
