@@ -32,9 +32,10 @@ class CheckpointError(Exception):
 def config_fingerprint(
     *, algo: str, gaps: tuple[int, int, int], matrix: str,
     num_seqs: int, lengths: np.ndarray, triangular: bool,
+    data: np.ndarray | bytes | None = None,
 ) -> dict:
     h = hashlib.sha256(np.asarray(lengths, np.int64).tobytes()).hexdigest()[:16]
-    return {
+    fp = {
         "algo": algo,
         "gaps": list(gaps),
         "matrix": matrix,
@@ -42,6 +43,14 @@ def config_fingerprint(
         "lengths_sha": h,
         "triangular": bool(triangular),
     }
+    if data is not None:
+        # Digest of the actual sequence BYTES, not just lengths: resuming
+        # against an edited input whose lengths happen to match (point
+        # mutations, regenerated data) must be rejected, or journaled blocks
+        # would silently contribute stale scores to the matrix.
+        buf = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+        fp["data_sha"] = hashlib.sha256(buf).hexdigest()[:16]
+    return fp
 
 
 class Journal:
@@ -53,6 +62,14 @@ class Journal:
         if self.path.exists():
             with open(self.path, "rb") as f:
                 raw = f.read()
+            file_len = len(raw)
+            # A crash can tear the tail exactly after a complete JSON line
+            # but before its newline; that line would parse, survive, and the
+            # append-mode reopen would concatenate the next commit onto it
+            # ("[5,6][7,8]") — losing BOTH flushes on the following resume.
+            # Treat any un-newline-terminated tail as torn up front.
+            if raw and not raw.endswith(b"\n"):
+                raw = raw[: raw.rfind(b"\n") + 1]
             lines = raw.split(b"\n")
             first = lines[0].decode() if lines else ""
             try:
@@ -81,7 +98,7 @@ class Journal:
                     break
                 good_end += len(line) + 1
             good_end = min(good_end, len(raw))
-            if good_end < len(raw):
+            if good_end < file_len:
                 with open(self.path, "r+b") as f:
                     f.truncate(good_end)
             self._f = open(self.path, "a")

@@ -448,6 +448,7 @@ def run(argv: list[str] | None = None) -> int:
                 gaps=(cfg.gap_pen, cfg.gap_opn, cfg.gap_ext),
                 matrix=cfg.matrix.name, num_seqs=ss.num,
                 lengths=ss.lengths, triangular=store.triangular,
+                data=ss.data,
             )
             try:
                 journal = ckpt.Journal(

@@ -231,6 +231,12 @@ class Engine:
         self.use_pallas = (
             use_pallas if use_pallas is not None else platform == "tpu"
         )
+        # The Pallas score stream is int8 with PAD_MARK = -128 reserved: a
+        # substitution matrix with |score| > 127 (no shipped matrix, but a
+        # future custom-matrix path) would silently corrupt scores — route
+        # such matrices to the int32 XLA wavefront instead.
+        if self.use_pallas and np.abs(np.asarray(sub, np.int64)).max() > 127:
+            self.use_pallas = False
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells

@@ -26,10 +26,36 @@ _lib = None
 _tried = False
 
 
+def _host_isa_tag() -> str:
+    """Identify the host ISA for -march=native cache keys: a cache directory
+    shared across heterogeneous machines (NFS home, reused container volumes)
+    must not serve a binary compiled for a newer CPU (SIGILL on older ones).
+    gcc's resolved -march=native target is the authoritative token."""
+    import platform
+
+    try:
+        out = subprocess.run(
+            ["gcc", "-march=native", "-E", "-v", "-", "-o", os.devnull],
+            input=b"", capture_output=True, timeout=10,
+        ).stderr.decode(errors="replace")
+        for line in out.splitlines():
+            if "-march=" in line and "native" not in line:
+                arch = [t for t in line.split() if t.startswith("-march=")]
+                if arch:
+                    return hashlib.sha256(
+                        (platform.machine() + arch[0]).encode()
+                    ).hexdigest()[:8]
+    except Exception:
+        pass
+    return platform.machine()
+
+
 def _build_lib(src: Path, extra_flags: tuple[str, ...] = ()) -> ctypes.CDLL | None:
     if not src.exists():
         return None
     tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    if "-march=native" in extra_flags:
+        tag += "-" + _host_isa_tag()
     cache = Path(
         os.environ.get(
             "SEQALIGN_TPU_CACHE",

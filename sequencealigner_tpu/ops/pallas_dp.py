@@ -392,7 +392,10 @@ def align_superblock_banded(
         out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((4 if algo == "nw" else 6, KB, B), jnp.int32),
-            pltpu.VMEM((2, nprev, Db + KB, B), jnp.int32),
+            # Db + KB + 1 columns: the final diagonal t = Db reads the (dead,
+            # never-consumed) fill at column t + KB = Db + KB, which would be
+            # one past a (Db + KB)-sized buffer.
+            pltpu.VMEM((2, nprev, Db + KB + 1, B), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=14 * S * B * nb * Db * KB, transcendentals=0,

@@ -27,6 +27,18 @@ def set_threads(n: int) -> int:
     THREAD_NUM = n if n > 0 else (os.cpu_count() or 1)
     if n > 0:
         os.environ["OMP_NUM_THREADS"] = str(THREAD_NUM)
+        # The env var is only read at libgomp INITIALIZATION — if a native
+        # lib already ran a parallel region before -T was processed, it would
+        # be silently ignored.  Call omp_set_num_threads on any loaded
+        # OpenMP-linked library as well.
+        try:
+            from .io import native
+
+            lib = native.hostops()
+            if lib is not None:
+                lib.omp_set_num_threads(THREAD_NUM)
+        except Exception:
+            pass
     return THREAD_NUM
 
 

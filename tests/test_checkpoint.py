@@ -152,6 +152,50 @@ def test_journal_tolerates_torn_tail(tmp_path):
     j3.close()
 
 
+def test_journal_complete_line_without_newline_is_torn(tmp_path):
+    """Tail torn exactly after a complete JSON line but before its newline:
+    the line must be DISCARDED (not kept), or the append-mode reopen would
+    concatenate the next commit onto it ('[5,6][7,8]') and a later resume
+    would then drop both flushes as corrupt."""
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    j = ckpt.Journal(p, _header(ss))
+    j.commit([0, 1])
+    j.close()
+    with open(p, "a") as f:
+        f.write("[5, 6]")  # complete JSON, missing trailing newline
+    j2 = ckpt.Journal(p, _header(ss))
+    assert j2.done == {0, 1}  # the un-terminated flush is treated as torn
+    j2.commit([7, 8])
+    j2.close()
+    j3 = ckpt.Journal(p, _header(ss))
+    assert j3.done == {0, 1, 7, 8}
+    j3.close()
+
+
+def test_fingerprint_binds_sequence_content(tmp_path):
+    """Same lengths, different bytes (point mutations) must be rejected on
+    resume — the journal would otherwise reuse stale scores."""
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    data2 = ss.data.copy()
+    data2[0] = data2[0] + 1 if data2[0] < 80 else data2[0] - 1
+    h1 = ckpt.config_fingerprint(
+        algo="ga", gaps=(0, -10, -1), matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=True, data=ss.data,
+    )
+    h2 = ckpt.config_fingerprint(
+        algo="ga", gaps=(0, -10, -1), matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=True, data=data2,
+    )
+    assert h1 != h2
+    p = tmp_path / "run.ckpt"
+    ckpt.Journal(p, h1).close()
+    with pytest.raises(ckpt.CheckpointError):
+        ckpt.Journal(p, h2)
+
+
 def test_journal_rejects_mid_file_corruption(tmp_path):
     rng = np.random.default_rng(0)
     ss = _random_set(rng, 8)

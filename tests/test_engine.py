@@ -78,6 +78,27 @@ def test_engine_multi_device_mesh_matches_single():
     np.testing.assert_array_equal(np.asarray(s1.matrix), np.asarray(s8.matrix))
 
 
+def test_oversized_substitution_matrix_routed_off_pallas():
+    """|sub| > 127 cannot survive the Pallas int8 score stream (PAD_MARK is
+    -128): the engine must force the int32 XLA path and still score exactly."""
+    rng = np.random.default_rng(11)
+    ss = make_set(rng, 9)
+    big = np.asarray(M.matrix, np.int32) * 100  # |scores| up to 1100
+    eng = Engine("ga", big, (0, -10, -1), use_pallas=True, target_cells=1 << 14)
+    assert eng.use_pallas is False
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    eng.align_all(ss, store, progress=False)
+    n = ss.num
+    idx = [M.lut[ss.data[ss.offsets[i] : ss.offsets[i + 1]]] for i in range(n)]
+    got = np.asarray(store.matrix).reshape(n, n)
+    for j in range(1, n):
+        for i in range(j):
+            want = oracle.align_score(
+                "ga", idx[j], idx[i], big, gap=0, opn=-10, ext=-1
+            )
+            assert got[i, j] == want
+
+
 def test_engine_mixed_extreme_lengths():
     rng = np.random.default_rng(9)
     seqs = [
