@@ -161,14 +161,29 @@ class Registry:
 
     # ---- help ------------------------------------------------------------
     def help_text(self, prog: str) -> str:
-        lines = [f"Usage: {prog} [OPTIONS]", "", "Options:"]
-        for a in self._toposort():
-            flag = f"  -{a.opt}, --{a.lopt}"
+        """Grouped help in the reference's format (args_help_print,
+        third_party/clix/args.h:2023-2049): required options first, then
+        optional, flags column-aligned with descriptions beside them."""
+
+        def flag_of(a: Argument) -> str:
+            f = f"-{a.opt}, --{a.lopt}"
             if a.param:
-                flag += f" {a.param}"
-            lines.append(flag)
-            for hl in a.help.splitlines():
-                lines.append(f"        {hl}")
+                f += f" {a.param}"
+            return f
+
+        ordered = self._toposort()
+        width = max(len(flag_of(a)) for a in ordered) + 2
+        lines = [f"Usage: {prog} [OPTIONS]"]
+        for title, want_req in (("Required options:", True),
+                                ("Optional options:", False)):
+            group = [a for a in ordered if a.required is want_req]
+            if not group:
+                continue
+            lines += ["", title]
+            for a in group:
+                hls = a.help.splitlines() or [""]
+                lines.append(f"  {flag_of(a):<{width}}{hls[0]}".rstrip())
+                lines += [f"  {'':<{width}}{hl}" for hl in hls[1:]]
         return "\n".join(lines) + "\n"
 
 

@@ -426,7 +426,9 @@ def run(argv: list[str] | None = None) -> int:
         ui.pinfo("Loaded %d sequences", ss.num)
         ui.pinfol("Average sequence length: %.2f", avg)
         bench.phase_print("input")
-    except sio.ParseError as e:
+    except (sio.ParseError, RuntimeError) as e:
+        # RuntimeError: an interactive prompt (e.g. the DSV column chooser)
+        # could not be answered — stdin pipe exhausted or invalid answer.
         ui.perr(str(e))
         return 1
 

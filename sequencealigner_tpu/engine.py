@@ -85,6 +85,7 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
 def _stack_body(
     bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
     *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, shard_offset=None,
+    interpret=False,
 ):
     """Score a stack of superblocks in a single dispatch: lax.map over the
     (nblk,) superblock start ids compiles the per-superblock body once and
@@ -122,7 +123,8 @@ def _stack_body(
                 else pallas_dp.align_superblock
             )
             out = score(
-                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B
+                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+                interpret=interpret,
             )
         elif (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
             # Long pairs: never materialize the O(Lc*Lk) score grid.
@@ -148,23 +150,24 @@ def _stack_body(
     jax.jit,
     static_argnames=(
         "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "int16_ok",
+        "interpret",
     ),
 )
 def _score_stack(
     bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, interpret=False,
 ):
     return _stack_body(
         bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
         algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
-        same=same, int16_ok=int16_ok,
+        same=same, int16_ok=int16_ok, interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_scorer(
     mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
-    use_pallas: bool, same: bool, int16_ok: bool,
+    use_pallas: bool, same: bool, int16_ok: bool, interpret: bool = False,
 ):
     """SPMD scorer over a >1-device mesh: each superblock is split on the
     pair axis with shard_map — sequences/LUT replicated, zero collectives
@@ -179,7 +182,7 @@ def _sharded_scorer(
             bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
             sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
             use_pallas=use_pallas, same=same, int16_ok=int16_ok,
-            shard_offset=off,
+            shard_offset=off, interpret=interpret,
         )
 
     rep = P()
@@ -219,6 +222,7 @@ class Engine:
         device_kind: str = "auto",
         target_cells: int | None = None,
         use_pallas: bool | None = None,
+        pallas_interpret: bool = False,
     ):
         if algo not in ALGOS:
             raise ValueError(f"unknown algorithm {algo!r}")
@@ -237,6 +241,10 @@ class Engine:
         # such matrices to the int32 XLA wavefront instead.
         if self.use_pallas and np.abs(np.asarray(sub, np.int64)).max() > 127:
             self.use_pallas = False
+        # interpret=True runs the real Pallas kernel logic through the
+        # interpreter — the way virtual-mesh (CPU) tests exercise the
+        # kernel+shard_map interaction without TPU hardware.
+        self.pallas_interpret = pallas_interpret
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
@@ -333,12 +341,13 @@ class Engine:
             if self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
-                    self.use_pallas, same, int16_ok,
+                    self.use_pallas, same, int16_ok, self.pallas_interpret,
                 )(*args)
             else:
                 dev = _score_stack(
                     *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
                     use_pallas=self.use_pallas, same=same, int16_ok=int16_ok,
+                    interpret=self.pallas_interpret,
                 )
             pending.append((dev.reshape(-1), part))
 

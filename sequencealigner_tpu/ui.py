@@ -111,40 +111,53 @@ def pverbl(msg: str, *args) -> None:
     pverbm(msg, *args)
 
 
+def _read_answer(prompt: str) -> str | None:
+    """Read one prompt answer from stdin.  Like the reference's
+    terminal_read_input (print.h:549-583), this reads stdin even when it is a
+    pipe, so ``echo y | seqalign-tpu ...`` drives prompts headlessly; only a
+    CLOSED/exhausted stdin yields None (caller applies the default)."""
+    try:
+        return input(prompt).strip()
+    except EOFError:
+        return None
+
+
 def print_yN(prompt: str) -> bool:
     """Default-no confirm; -F forces True (print.h:585-593)."""
     if state.force:
         return True
-    if not sys.stdin.isatty():
-        return False
-    ans = input(f"{prompt} [y/N] ").strip()
-    return ans[:1].lower() == "y"
+    ans = _read_answer(f"{prompt} [y/N] ")
+    return ans is not None and ans[:1].lower() == "y"
 
 
 def print_Yn(prompt: str) -> bool:
     """Default-yes confirm; -F forces True (print.h:595-603)."""
     if state.force:
         return True
-    if not sys.stdin.isatty():
-        return True
-    ans = input(f"{prompt} [Y/n] ").strip()
-    return ans[:1].lower() != "n"
+    ans = _read_answer(f"{prompt} [Y/n] ")
+    return ans is None or ans[:1].lower() != "n"
 
 
 def pchoice(options: list[str], prompt: str) -> int:
     """Numbered chooser.  Unlike yes/no prompts, the reference does NOT
-    auto-answer these under -F; without a TTY we fail instead of blocking."""
-    if not sys.stdin.isatty():
-        raise RuntimeError(
-            "interactive choice required but stdin is not a terminal "
-            f"({prompt}; options: {', '.join(options)})"
-        )
+    auto-answer these under -F; answers may come from a pipe
+    (``printf '2\\n' | seqalign-tpu ...``), and an exhausted stdin fails
+    rather than blocking."""
     for i, opt in enumerate(options):
         print(f"  [{i}] {opt}")
     while True:
-        ans = input(f"{prompt}: ").strip()
+        ans = _read_answer(f"{prompt}: ")
+        if ans is None:
+            raise RuntimeError(
+                "interactive choice required but stdin is exhausted "
+                f"({prompt}; options: {', '.join(options)})"
+            )
         if ans.isdigit() and 0 <= int(ans) < len(options):
             return int(ans)
+        if not sys.stdin.isatty():
+            raise RuntimeError(
+                f"invalid piped answer {ans!r} for choice prompt ({prompt})"
+            )
 
 
 class Progress:

@@ -196,6 +196,41 @@ def test_cli_trace_flag(tmp_path):
     assert tdir.exists() and any(tdir.rglob("*"))
 
 
+def test_cli_piped_stdin_drives_column_chooser(tmp_path, monkeypatch):
+    """Headless prompt parity: the reference reads prompts from stdin even
+    when it is a pipe (clix print.h terminal_read_input), so
+    printf '0\\n' | seqalign-tpu headerless.csv must drive the DSV column
+    chooser without a TTY."""
+    import io
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("ARNDCQ,x\nARNDCC,y\nWWWWWW,z\n")  # no header row
+    out = tmp_path / "o.h5"
+    # Answer "2" = the "No header line" option, then "0" = column 0.
+    monkeypatch.setattr("sys.stdin", io.StringIO("2\n0\n"))
+    rc = cli.run(["-i", str(csv), "-o", str(out), "-m", "blosum62", "-a",
+                  "nw", "-p", "4", "-P", "-C"])
+    assert rc == 0 and out.exists()
+    import h5py
+
+    with h5py.File(out) as f:
+        assert [s.decode() for s in f["/sequences"][:]] == [
+            "ARNDCQ", "ARNDCC", "WWWWWW"
+        ]
+
+
+def test_cli_piped_stdin_exhausted_choice_fails(tmp_path, monkeypatch):
+    import io
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("ARNDCQ,x\nARNDCC,y\n")
+    out = tmp_path / "o.h5"
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))  # exhausted pipe
+    rc = cli.run(["-i", str(csv), "-o", str(out), "-m", "blosum62", "-a",
+                  "nw", "-p", "4", "-P", "-C"])
+    assert rc == 1
+
+
 def test_cli_no_tpu_fallback_prompt(tmp_path):
     """Without -C on a TPU-less host, -F auto-confirms the CPU fallback
     (cuda_device_init parity, seqalign_cuda.c:48-69)."""

@@ -78,6 +78,28 @@ def test_engine_multi_device_mesh_matches_single():
     np.testing.assert_array_equal(np.asarray(s1.matrix), np.asarray(s8.matrix))
 
 
+@pytest.mark.parametrize("lmax,label", [(40, "short"), (100, "banded")])
+def test_multi_device_pallas_interpret_matches_xla(lmax, label):
+    """The Pallas kernels under shard_map on the 8-device virtual mesh (via
+    the interpreter): exercises the per-device shard_offset indexing +
+    pallas_call interaction that hardware-only testing left unproven
+    (VERDICT r1 #40).  lmax=40 covers the monolithic kernel, lmax=100 the
+    banded one (edge 128 > 2*KB)."""
+    rng = np.random.default_rng(13)
+    ss = make_set(rng, 17, lmax=lmax)
+    mesh8 = make_mesh("cpu", 8)
+    ref = OutputStore(ss.num, triangular=False, spill=False)
+    got = OutputStore(ss.num, triangular=False, spill=False)
+    Engine("ga", M.matrix, (0, -11, -1), target_cells=1 << 14).align_all(
+        ss, ref, progress=False
+    )
+    Engine(
+        "ga", M.matrix, (0, -11, -1), mesh=mesh8,
+        use_pallas=True, pallas_interpret=True,
+    ).align_all(ss, got, progress=False)
+    np.testing.assert_array_equal(np.asarray(got.matrix), np.asarray(ref.matrix))
+
+
 def test_oversized_substitution_matrix_routed_off_pallas():
     """|sub| > 127 cannot survive the Pallas int8 score stream (PAD_MARK is
     -128): the engine must force the int32 XLA path and still score exactly."""
