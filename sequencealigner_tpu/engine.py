@@ -50,6 +50,15 @@ ALGOS = ("nw", "ga", "sw")
 #: Pairs in flight before a flush (bounds host memory for block metadata).
 FLUSH_PAIRS = 1 << 22
 
+#: Max score-grid bytes materialized by ONE build dispatch (stage A).
+STREAM_SEG_BYTES = int(
+    os.environ.get("SEQALIGN_TPU_SEG_BYTES", 512 << 20)
+)
+#: Max score-grid bytes enqueued-but-unexecuted before a pacing probe.
+STREAM_INFLIGHT_BYTES = int(
+    os.environ.get("SEQALIGN_TPU_INFLIGHT_BYTES", 2 << 30)
+)
+
 # Persistent compilation cache: a CLI run is a fresh process, and the bucketed
 # pair schedule compiles one executable per (algo, Lc, Lk, B) shape — cache
 # them across invocations so only the first-ever run pays compile time.
@@ -82,6 +91,31 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("pairs",))
 
 
+def _gather_pairs(
+    bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
+    *, Wloc, same, shard_offset=None,
+):
+    """Pair indices derived ON DEVICE from a superblock's first linear id:
+    triangle inversion via searchsorted on the (count+1,) `tri` table for
+    within-bucket combos, div/mod for cross-bucket ones — so the host ships
+    8 bytes per superblock instead of 16 bytes per pair.  ``shard_offset``
+    (set under shard_map) positions this device's Wloc-wide slice."""
+    lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
+    if shard_offset is not None:
+        lin = lin + shard_offset
+    lin = jnp.where(lin < npairs, lin, 0)  # pad pairs -> dummy (0, 0)
+    if same:
+        rc = (jnp.searchsorted(tri, lin, side="right") - 1).astype(jnp.int32)
+        rk = (lin - tri[rc]).astype(jnp.int32)
+    else:
+        ca = lens_k.shape[0]
+        rk = (lin % ca).astype(jnp.int32)
+        rc = (lin // ca).astype(jnp.int32)
+    s1 = bucket_c[rc].astype(jnp.int32)
+    s2 = bucket_k[rk].astype(jnp.int32)
+    return s1, s2, lens_c[rc], lens_k[rk]
+
+
 def _stack_body(
     bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
     *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, shard_offset=None,
@@ -91,38 +125,15 @@ def _stack_body(
     (nblk,) superblock start ids compiles the per-superblock body once and
     the device runs the whole stack without host round trips (the reference's
     CUDA batch loop, seqalign_cuda.c:183-290, needs host code per batch; here
-    the 'loop' is compiled in).
-
-    Pair indices are derived ON DEVICE from each superblock's first linear id
-    (`starts`): triangle inversion via searchsorted on the (count+1,) `tri`
-    table for within-bucket combos, div/mod for cross-bucket ones — so the
-    host ships 8 bytes per superblock instead of 16 bytes per pair.
-    ``shard_offset`` (set under shard_map) positions this device's Wloc-wide
-    slice of each superblock."""
+    the 'loop' is compiled in)."""
 
     def body(t0):
-        lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
-        if shard_offset is not None:
-            lin = lin + shard_offset
-        lin = jnp.where(lin < npairs, lin, 0)  # pad pairs -> dummy (0, 0)
-        if same:
-            rc = (jnp.searchsorted(tri, lin, side="right") - 1).astype(jnp.int32)
-            rk = (lin - tri[rc]).astype(jnp.int32)
-        else:
-            ca = lens_k.shape[0]
-            rk = (lin % ca).astype(jnp.int32)
-            rc = (lin // ca).astype(jnp.int32)
-        s1 = bucket_c[rc].astype(jnp.int32)
-        s2 = bucket_k[rk].astype(jnp.int32)
-        l1b = lens_c[rc]
-        l2b = lens_k[rk]
+        s1, s2, l1b, l2b = _gather_pairs(
+            bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
+            Wloc=Wloc, same=same, shard_offset=shard_offset,
+        )
         if use_pallas and pallas_dp.supports(Lc, Lk):
-            score = (
-                pallas_dp.align_superblock_banded
-                if pallas_dp.use_banded(Lk)
-                else pallas_dp.align_superblock
-            )
-            out = score(
+            out = pallas_dp.align_superblock(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
                 interpret=interpret,
             )
@@ -144,6 +155,57 @@ def _stack_body(
         return out
 
     return jax.lax.map(body, starts)
+
+
+# ---- two-stage Pallas dispatch ---------------------------------------------
+# The score-grid build (MXU one-hot dots + one transpose) and the Pallas DP
+# kernel run as SEPARATE dispatches: fused in one jit, XLA's layout
+# assignment around the Pallas custom call degrades the build to ~4x its
+# standalone cost (measured on v5e; see ops/pallas_dp.py module notes).  The
+# engine paces in-flight stream buffers with tiny probe fetches so queued
+# stage-A outputs cannot exhaust HBM.
+
+
+@partial(
+    jax.jit,
+    static_argnames=("Lc", "Lk", "B", "Wloc", "same"),
+)
+def _build_stack(
+    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p,
+    *, Lc, Lk, B, Wloc, same,
+):
+    nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
+
+    def body(t0):
+        s1, s2, l1b, l2b = _gather_pairs(
+            bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
+            Wloc=Wloc, same=same,
+        )
+        sk = pallas_dp.build_stream(
+            s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
+        )
+        return sk, l1b, l2b
+
+    return jax.lax.map(body, starts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("algo", "Lc", "Lk", "B", "int16_ok", "interpret"),
+    donate_argnames=("sks",),  # stream buffers freed as soon as scored
+)
+def _score_stack_prebuilt(
+    sks, l1s, l2s, gaps, *, algo, Lc, Lk, B, int16_ok, interpret=False,
+):
+    def body(args):
+        sk, l1b, l2b = args
+        out = pallas_dp.align_prebuilt(
+            sk, l1b, l2b, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+            interpret=interpret,
+        )
+        return out.astype(jnp.int16) if int16_ok else out
+
+    return jax.lax.map(body, (sks, l1s, l2s))
 
 
 @partial(
@@ -193,6 +255,61 @@ def _sharded_scorer(
         check_vma=False,
     )
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int, same: bool):
+    nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
+
+    def body(bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p):
+        off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
+
+        def one(t0):
+            s1, s2, l1b, l2b = _gather_pairs(
+                bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
+                Wloc=Wloc, same=same, shard_offset=off,
+            )
+            sk = pallas_dp.build_stream(
+                s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
+            )
+            return sk, l1b, l2b
+
+        return jax.lax.map(one, starts)
+
+    rep = P()
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep,) * 8,
+        out_specs=(P(None, "pairs"), P(None, "pairs"), P(None, "pairs")),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_kernel(
+    mesh, algo: str, Lc: int, Lk: int, B: int,
+    int16_ok: bool, interpret: bool,
+):
+    def body(sks, l1s, l2s, gaps):
+        def one(args):
+            sk, l1b, l2b = args
+            out = pallas_dp.align_prebuilt(
+                sk, l1b, l2b, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+                interpret=interpret,
+            )
+            return out.astype(jnp.int16) if int16_ok else out
+
+        return jax.lax.map(one, (sks, l1s, l2s))
+
+    sh = P(None, "pairs")
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(sh, sh, sh, P()),
+        out_specs=P(None, "pairs"),
+        check_vma=False,
+    )
+    return jax.jit(f, donate_argnums=(0,))
 
 
 @dataclasses.dataclass
@@ -249,6 +366,7 @@ class Engine:
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
         self._rep = NamedSharding(self.mesh, P())
+        self._inflight: list = []  # (bytes, dev) pacing queue, see _pace
 
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
@@ -288,17 +406,9 @@ class Engine:
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
-            if pallas_dp.use_banded(Lk):
-                B = 128  # measured best for the banded kernel on v5e
-                nb, _, Db = pallas_dp.banded_geometry(Lc, Lk, B)
-                Kpad, Dpad = nb * pallas_dp.KB, Db
-            else:
-                Kpad = pallas_dp.round_up(Lk, 32)
-                B = pallas_dp.pick_B(Kpad)
-                D = Lc + Lk
-                CD = pallas_dp.pick_CD(D, Kpad, B)
-                Dpad = pallas_dp.round_up(D, CD)
-            S = pallas_dp.pick_S(B, Kpad, Dpad)
+            B = pallas_dp.LANE  # one lane tile of pairs per stripe
+            nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
+            S = pallas_dp.pick_S(B, Kpad, W)
             # Shrink for small combos (fewer wasted pad pairs), but keep the
             # per-device shard a whole number of B-wide stripes.
             s_needed = -(-npairs // B)
@@ -323,22 +433,52 @@ class Engine:
         return (Lc + Lk) * step < 32767
 
     def _dispatch(self, blks, ctx, pending) -> None:
-        """Ship one int64 start id per superblock and score in ONE jitted
-        dispatch per power-of-two segment (lax.map recompiles per stack
-        length, so lengths are kept to powers of two — a bounded compile set);
-        results stay on device until flush."""
+        """Ship one int64 start id per superblock and score per power-of-two
+        segment (lax.map recompiles per stack length, so lengths are kept to
+        powers of two — a bounded compile set); results stay on device until
+        flush.  On the Pallas path each segment is TWO dispatches (score-grid
+        build, then kernel — see the two-stage notes above), with segment
+        size capped so one segment's stream fits the in-flight budget."""
         (bc, bk, lens_c, lens_k, tri, npairs_dev, sub_dev, gaps_dev,
          Lc, Lk, B, W, same) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
+        pallas = self.use_pallas and pallas_dp.supports(Lc, Lk)
+        seg_cap = 1 << 30
+        if pallas:
+            sb_bytes = W * pallas_dp.stream_bytes_per_pair(Lc, Lk) // B
+            cap = max(1, STREAM_SEG_BYTES // max(sb_bytes, 1))
+            seg_cap = 1 << (cap.bit_length() - 1)
         off = 0
         while off < len(blks):
             seg = 1 << (len(blks) - off).bit_length() - 1
+            seg = min(seg, seg_cap)
             part = blks[off : off + seg]
             off += seg
             starts = self._put_i64([x.start for _, x in part])
             args = (bc, bk, lens_c, lens_k, tri, starts, npairs_dev,
                     sub_dev, gaps_dev)
-            if self.ndev > 1:
+            if pallas:
+                Wloc = W // self.ndev
+                if self.ndev > 1:
+                    sks, l1s, l2s = _sharded_builder(
+                        self.mesh, Lc, Lk, B, Wloc, same
+                    )(*args[:8])
+                    dev = _sharded_kernel(
+                        self.mesh, self.algo, Lc, Lk, B, int16_ok,
+                        self.pallas_interpret,
+                    )(sks, l1s, l2s, gaps_dev)
+                else:
+                    sks, l1s, l2s = _build_stack(
+                        *args[:8], Lc=Lc, Lk=Lk, B=B, Wloc=W, same=same,
+                    )
+                    dev = _score_stack_prebuilt(
+                        sks, l1s, l2s, gaps_dev, algo=self.algo, Lc=Lc,
+                        Lk=Lk, B=B, int16_ok=int16_ok,
+                        interpret=self.pallas_interpret,
+                    )
+                del sks  # free the stream buffer once the kernel consumed it
+                self._pace(seg * sb_bytes, dev)
+            elif self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
                     self.use_pallas, same, int16_ok, self.pallas_interpret,
@@ -350,6 +490,20 @@ class Engine:
                     interpret=self.pallas_interpret,
                 )
             pending.append((dev.reshape(-1), part))
+
+    def _pace(self, nbytes: int, dev) -> None:
+        """Bound enqueued-but-unexecuted stream buffers: device buffers are
+        allocated at ENQUEUE, so an unbounded async queue of stage-A outputs
+        could exhaust HBM.  When the estimated in-flight bytes exceed the
+        budget, fetch 4 bytes of the OLDEST queued kernel output — a cheap
+        sync point that proves every earlier segment has executed (and its
+        stream buffer been freed)."""
+        self._inflight.append((nbytes, dev))
+        total = sum(b for b, _ in self._inflight)
+        while total > STREAM_INFLIGHT_BYTES and len(self._inflight) > 1:
+            b, old = self._inflight.pop(0)
+            np.asarray(old.reshape(-1)[:1])
+            total -= b
 
     def align_all(
         self,
@@ -442,6 +596,7 @@ class Engine:
                     store.sync()  # scores durable no later than the journal
                 journal.commit(committed)
             pending.clear()
+            self._inflight.clear()  # flush fetched everything queued
             inflight = 0
 
         gidx = 0  # deterministic global superblock index
