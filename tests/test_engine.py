@@ -100,6 +100,27 @@ def test_multi_device_pallas_interpret_matches_xla(lmax, label):
     np.testing.assert_array_equal(np.asarray(got.matrix), np.asarray(ref.matrix))
 
 
+def test_progress_counts_exact_with_poller(monkeypatch):
+    """The is_ready() poller (live progress) and the flush path must not
+    double-count: the bar ends exactly at the total pair count."""
+    from sequencealigner_tpu import ui
+
+    bars = []
+    orig = ui.Progress
+
+    class Rec(orig):
+        def __init__(self, total, label):
+            super().__init__(total, label)
+            bars.append(self)
+
+    monkeypatch.setattr(ui, "Progress", Rec)
+    rng = np.random.default_rng(5)
+    ss = make_set(rng, 40)
+    eng = Engine("ga", M.matrix, (0, -10, -1), target_cells=1 << 14)
+    eng.align_all(ss, None, progress=True)
+    assert bars and bars[0].count == bars[0].total == ss.num * (ss.num - 1) // 2
+
+
 def test_oversized_substitution_matrix_routed_off_pallas():
     """|sub| > 127 cannot survive the Pallas int8 score stream (PAD_MARK is
     -128): the engine must force the int32 XLA path and still score exactly."""
