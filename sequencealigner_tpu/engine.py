@@ -56,8 +56,11 @@ STREAM_SEG_BYTES = int(
     os.environ.get("SEQALIGN_TPU_SEG_BYTES", 512 << 20)
 )
 #: Max score-grid bytes enqueued-but-unexecuted before a pacing probe.
+#: Each probe is a (pipelined) host sync, expensive on high-latency links —
+#: sized so typical workloads never trigger one (v5e: 16 GB HBM, and the
+#: per-dispatch working set stays under ~2 GB).
 STREAM_INFLIGHT_BYTES = int(
-    os.environ.get("SEQALIGN_TPU_INFLIGHT_BYTES", 2 << 30)
+    os.environ.get("SEQALIGN_TPU_INFLIGHT_BYTES", 6 << 30)
 )
 
 # Persistent compilation cache: a CLI run is a fresh process, and the bucketed
@@ -459,7 +462,8 @@ class Engine:
         pallas = self.use_pallas and pallas_dp.supports(Lc, Lk)
         seg_cap = 1 << 30
         if pallas:
-            sb_bytes = W * pallas_dp.stream_bytes_per_pair(Lc, Lk) // B
+            # W is the superblock width in PAIRS; bytes = pairs x per-pair
+            sb_bytes = W * pallas_dp.stream_bytes_per_pair(Lc, Lk)
             cap = max(1, STREAM_SEG_BYTES // max(sb_bytes, 1))
             seg_cap = 1 << (cap.bit_length() - 1)
         off = 0
@@ -531,8 +535,13 @@ class Engine:
         partition: tuple[int, int] | None = None,
         merger=None,
         journal=None,
+        limit_pairs: int | None = None,
     ) -> AlignStats:
         """Score the whole pair space into ``store``.
+
+        limit_pairs: stop scheduling after ~this many pairs (rounded up to a
+          whole superblock) — a benchmarking truncation for sustained-rate
+          measurement on pair spaces too large to finish.
 
         partition: (host_id, nhosts) stripes the global superblock stream
           across hosts (multi-host data parallelism over pairs); flush points
@@ -641,8 +650,11 @@ class Engine:
             )
             poller.start()
 
+        scheduled = 0  # pairs claimed so far (for limit_pairs)
         gidx = 0  # deterministic global superblock index
         for a, b in sched.combos():
+            if limit_pairs is not None and scheduled >= limit_pairs:
+                break
             npairs = sched.combo_pair_count(a, b)
             if npairs == 0:
                 continue
@@ -690,6 +702,9 @@ class Engine:
 
             for blk in sched.blocks(a, b, width=width):
                 inflight += take(blk)
+                scheduled += blk.n_valid
+                if limit_pairs is not None and scheduled >= limit_pairs:
+                    break
                 if len(blks) >= chunk_blocks:
                     self._dispatch(blks, ctx, pending)
                     blks = []

@@ -8,8 +8,12 @@ strictly in file order (the reference's OpenMP version races on lost[] and is
 only nondeterministically close to this; SURVEY.md §5 fixes keep-first-in-file-
 order as the spec).  The division is performed in float32 like the C code.
 
-TPU-first: the O(N^2 * L) match counting runs as blocked equality reductions
-on the device; only the O(N^2) greedy resolution runs on the host.
+TPU-first and transfer-light: the O(N^2 * L) match counting runs as blocked
+equality reductions on the device, and the comparison against every PRIOR
+block is also REDUCED on the device against the current kept mask — so only
+one bool per candidate plus the (block x block) local similarity tile ever
+crosses the host link (~N*block bytes total, not the O(N^2) count matrix).
+Only the O(block^2)-per-block greedy resolution runs on the host.
 """
 
 from __future__ import annotations
@@ -28,12 +32,53 @@ from .io.input import SequenceSet
 _PAD = 0
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _match_counts(rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
-    """(Bi, L) x (Bj, L) uint8 -> (Bi, Bj) int32 positional match counts over
-    positions where both are real characters."""
-    eq = (rows[:, None, :] == cols[None, :, :]) & (rows[:, None, :] != _PAD)
-    return jnp.sum(eq, axis=-1, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("block",))
+def _filter_block(chars, lens, kept, thr, j0, *, block):
+    """One candidate block [j0, j0+block) against all prior blocks + itself.
+
+    chars: (Np, L) uint8, padded to a multiple of ``block`` rows (pad rows
+      have lens == 0).  kept: (Np,) uint8 — kept status, FINAL for rows
+      < j0, irrelevant beyond.  Returns:
+      killed_prior: (block,) bool — candidate j similar to any KEPT i < j0.
+      sim_local: (block, block) uint8 — similarity of in-block pairs.
+    """
+    f32 = jnp.float32
+    cols = jax.lax.dynamic_slice_in_dim(chars, j0, block, 0)  # (Bj, L)
+    collens = jax.lax.dynamic_slice_in_dim(lens, j0, block, 0)
+    nblk = chars.shape[0] // block
+
+    def sim_of(rows, rowlens):
+        eq = (rows[:, None, :] == cols[None, :, :]) & (rows[:, None, :] != _PAD)
+        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
+        minlen = jnp.minimum(rowlens[:, None], collens[None, :])
+        return (minlen > 0) & (
+            counts.astype(f32) / jnp.maximum(minlen, 1).astype(f32) >= thr
+        )
+
+    def body(killed, i0):
+        rows = jax.lax.dynamic_slice_in_dim(chars, i0, block, 0)
+        rowlens = jax.lax.dynamic_slice_in_dim(lens, i0, block, 0)
+        keptb = jax.lax.dynamic_slice_in_dim(kept, i0, block, 0) != 0
+        prior = sim_of(rows, rowlens) & keptb[:, None]
+        hit = jnp.any(prior & (i0 < j0), axis=0)  # whole block prior to j0
+        return killed | hit, None
+
+    i0s = jnp.arange(nblk, dtype=jnp.int32) * block
+    # Only whole blocks strictly before j0 contribute (j0 is block-aligned);
+    # later blocks are masked inside body via (i0 < j0).
+    killed, _ = jax.lax.scan(body, jnp.zeros(block, bool), i0s)
+    sim_local = sim_of(cols, collens)
+    return killed, sim_local.astype(jnp.uint8)
+
+
+def _char_matrix(ss: SequenceSet, n: int, lmax: int) -> np.ndarray:
+    """(n, lmax) uint8 raw-byte matrix, vectorized (no per-sequence loop)."""
+    chars = np.zeros((n, lmax), dtype=np.uint8)
+    total = int(ss.offsets[n])
+    row = np.repeat(np.arange(n), np.diff(ss.offsets[: n + 1]).astype(np.int64))
+    col = np.arange(total, dtype=np.int64) - ss.offsets[row]
+    chars[row, col] = ss.data[:total]
+    return chars
 
 
 def filter_sequences(
@@ -44,46 +89,51 @@ def filter_sequences(
         return ss, 0
 
     n = ss.num
-    lengths = ss.lengths.astype(np.int64)
-    lmax = ss.max_len
-    chars = np.full((n, lmax), _PAD, dtype=np.uint8)
-    for i in range(n):
-        s = ss.data[ss.offsets[i] : ss.offsets[i + 1]]
-        chars[i, : len(s)] = s
+    npad = -(-n // block) * block
+    lengths = np.zeros(npad, np.int32)
+    lengths[:n] = ss.lengths
+    chars = np.zeros((npad, ss.max_len), dtype=np.uint8)
+    chars[:n] = _char_matrix(ss, n, ss.max_len)
 
     thr = np.float32(threshold)
-    lost = np.zeros(n, dtype=np.uint8)
+    lost = np.zeros(npad, dtype=np.uint8)
+    kept = np.ones(npad, dtype=np.uint8)
     bar = ui.Progress(n - 1, "Filtering sequences") if progress else None
 
     chars_dev = jax.device_put(chars)
+    lens_dev = jax.device_put(lengths)
+    from .io import native
+
     for j0 in range(0, n, block):
         j1 = min(j0 + block, n)
-        cols_dev = jax.lax.slice_in_dim(chars_dev, j0, j1, axis=0)
-        # Match counts of every candidate row i < j1 against this column block.
-        counts = np.empty((j1, j1 - j0), dtype=np.int32)
-        for i0 in range(0, j1, block):
-            i1 = min(i0 + block, j1)
-            rows_dev = jax.lax.slice_in_dim(chars_dev, i0, i1, axis=0)
-            counts[i0:i1] = np.asarray(_match_counts(rows_dev, cols_dev))
-        minlen = np.minimum(lengths[:j1, None], lengths[None, j0:j1])
-        sim = np.ascontiguousarray(
-            counts.astype(np.float32) / minlen.astype(np.float32) >= thr
-        ).view(np.uint8)
-        # Greedy in-order resolution within the block (cross-block kept status
-        # is already final); native C loop with a NumPy fallback.
-        from .io import native
-
-        if not native.filter_resolve(sim, lost, j0, j1):
-            lostb = lost.view(bool)
-            for j in range(max(j0, 1), j1):
-                cand = sim.view(bool)[:j, j - j0]
-                lostb[j] = bool(np.any(cand & ~lostb[:j]))
+        killed, sim_local = _filter_block(
+            chars_dev, lens_dev, jax.device_put(kept), thr,
+            np.int32(j0), block=block,
+        )
+        killed = np.asarray(killed)[: j1 - j0]
+        bsz = j1 - j0
+        # Host greedy within the block, with the device-reduced prior-block
+        # verdict folded in as a SENTINEL row 0 (a permanently-kept pseudo
+        # sequence "similar" to every prior-killed candidate), so cascading
+        # works: a candidate killed by a prior block cannot itself kill.
+        sim = np.asarray(sim_local)[:bsz, :bsz]
+        aug = np.zeros((bsz + 1, bsz), np.uint8)
+        aug[0] = killed.astype(np.uint8)
+        aug[1:] = sim
+        loc_lost = np.zeros(bsz + 1, np.uint8)
+        if not native.filter_resolve(aug, loc_lost, 1, bsz + 1):
+            lb = loc_lost.view(bool)
+            augb = aug.view(bool)
+            for j in range(1, bsz + 1):
+                lb[j] = bool(np.any(augb[:j, j - 1] & ~lb[:j]))
+        lost[j0:j1] = loc_lost[1:]
+        kept[j0:j1] = 1 - lost[j0:j1]
         if bar:
             bar.add(j1 - j0)
     if bar:
         bar.end()
 
-    lost = lost.view(bool)
+    lost = lost.view(bool)[:n]
     dropped = int(lost.sum())
     if dropped == 0:
         return ss, 0

@@ -46,7 +46,10 @@ def write(
     *,
     compression: int = 0,
     progress: bool = True,
+    max_rows: int | None = None,
 ) -> None:
+    """max_rows limits the triangular->square conversion to a leading row
+    window (scale benchmarking); the dataset is still created full-size."""
     import h5py
 
     dim = store.dim
@@ -77,22 +80,23 @@ def write(
             "/similarity_matrix", shape=(dim, dim), dtype="<i4", **kwargs
         )
 
+        lim = dim if max_rows is None else min(dim, max_rows)
         if not store.triangular:
             ui.pinfo("Writing Similarity Matrix to HDF5")
-            dset[...] = np.asarray(store.matrix).reshape(dim, dim)
+            dset[:lim] = np.asarray(store.matrix).reshape(dim, dim)[:lim]
             return
 
         ui.pinfo("Writing triangular Similarity Matrix to HDF5")
         # Row-chunk size bounded by RAM, like hdf5.c:124-129.
         avail = system.available_memory()
         row_bytes = dim * 4
-        max_rows = int(avail // (4 * row_bytes)) if row_bytes else dim
+        ram_rows = int(avail // (4 * row_bytes)) if row_bytes else dim
         chunk_rows = max(cdim or 4, 4)
-        if chunk_rows > max_rows > 4:
-            chunk_rows = max_rows
-        bar = ui.Progress(dim, "Converting to HDF5") if progress else None
-        for off in range(0, dim, chunk_rows):
-            end = min(off + chunk_rows, dim)
+        if chunk_rows > ram_rows > 4:
+            chunk_rows = ram_rows
+        bar = ui.Progress(lim, "Converting to HDF5") if progress else None
+        for off in range(0, lim, chunk_rows):
+            end = min(off + chunk_rows, lim)
             dset[off:end, :] = store.rows(off, end)
             if bar:
                 bar.add(end - off)

@@ -54,12 +54,12 @@ def test_nw_matches_oracle(gap):
     check_block("nw", (gap, 0, 0), seed=gap)
 
 
-@pytest.mark.parametrize("opn,ext", [(-10, -1), (-4, -4), (-2, -1), (-11, -2)])
+@pytest.mark.parametrize("opn,ext", [(-10, -1), (-4, -4), (-2, -1), (-11, -2), (-1, -5)])
 def test_ga_matches_oracle(opn, ext):
     check_block("ga", (0, opn, ext), seed=opn * 31 + ext)
 
 
-@pytest.mark.parametrize("opn,ext", [(-10, -1), (-5, -5), (-3, -1)])
+@pytest.mark.parametrize("opn,ext", [(-10, -1), (-5, -5), (-3, -1), (-2, -7)])
 def test_sw_matches_oracle(opn, ext):
     check_block("sw", (0, opn, ext), seed=opn * 17 + ext)
 
