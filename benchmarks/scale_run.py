@@ -95,6 +95,22 @@ def config4(n, pair_budget_cells, skip_filter, hdf5_rows, tmp):
         pairs_per_sec=round(stats.pairs / dt),
         total_pairs_space=ss.num * (ss.num - 1) // 2)
 
+    # The truncated slice above covers the SMALLEST buckets (combo order is
+    # ascending): also measure the big-bucket rate that dominates a full run
+    # (>=80% of the pair space's cells are in the 512-1024 buckets).
+    rng2 = np.random.default_rng(6)
+    ss_big, _ = make_dna(rng2, min(n, 20_000), lo=512, hi=1024)
+    limit_big = max(1, int(pair_budget_cells / float(
+        ss_big.lengths.astype(np.float64).mean() ** 2)))
+    eng.align_all(ss_big, None, progress=False, limit_pairs=limit_big)
+    t0 = time.perf_counter()
+    stats_b = eng.align_all(ss_big, None, progress=False, limit_pairs=limit_big)
+    dt = time.perf_counter() - t0
+    log(phase="align_truncated_large", n=ss_big.num, pairs=stats_b.pairs,
+        cells=stats_b.cells, seconds=round(dt, 2),
+        gcups=round(stats_b.cells / dt / 1e9, 2),
+        pairs_per_sec=round(stats_b.pairs / dt))
+
     # scatter throughput, standalone (10M random pairs)
     npairs = 10_000_000
     i = rng.integers(0, ss.num - 1, npairs).astype(np.int64)

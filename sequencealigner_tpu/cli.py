@@ -320,7 +320,11 @@ def build_registry(cfg: Config) -> Registry:
     reg.register(
         Argument(
             name="threads", opt="T", lopt="threads", param="N",
-            help="Number of threads (0 = auto)", parse=parse_threads,
+            help="Number of HOST threads (0 = auto)\n"
+                 "  Governs native host ops (parsing, store scatter, HDF5\n"
+                 "  conversion); device compute parallelism comes from the\n"
+                 "  TPU mesh, not this flag",
+            parse=parse_threads,
         )
     )
     reg.register(

@@ -53,7 +53,7 @@ FLUSH_PAIRS = 1 << 22
 
 #: Max score-grid bytes materialized by ONE build dispatch (stage A).
 STREAM_SEG_BYTES = int(
-    os.environ.get("SEQALIGN_TPU_SEG_BYTES", 512 << 20)
+    os.environ.get("SEQALIGN_TPU_SEG_BYTES", 768 << 20)
 )
 #: Max score-grid bytes enqueued-but-unexecuted before a pacing probe.
 #: Each probe is a (pipelined) host sync, expensive on high-latency links —
@@ -459,11 +459,16 @@ class Engine:
         (bc, bk, lens_c, lens_k, npairs_dev, sub_dev, gaps_dev,
          Lc, Lk, B, W, same, small) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
-        pallas = self.use_pallas and pallas_dp.supports(Lc, Lk)
+        bpp = pallas_dp.stream_bytes_per_pair(Lc, Lk)
+        # Two-stage dispatch only where the score grid is small per pair;
+        # long buckets go single-jit (the grid stays an in-jit temporary of
+        # the lax.map body -> one dispatch per chunk instead of hundreds).
+        pallas = (self.use_pallas and pallas_dp.supports(Lc, Lk)
+                  and bpp <= pallas_dp.TWO_STAGE_MAX_PP)
         seg_cap = 1 << 30
         if pallas:
             # W is the superblock width in PAIRS; bytes = pairs x per-pair
-            sb_bytes = W * pallas_dp.stream_bytes_per_pair(Lc, Lk)
+            sb_bytes = W * bpp
             cap = max(1, STREAM_SEG_BYTES // max(sb_bytes, 1))
             seg_cap = 1 << (cap.bit_length() - 1)
         off = 0

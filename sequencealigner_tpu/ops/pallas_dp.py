@@ -83,6 +83,12 @@ KB = 32
 #: the engine falls back to the streamed XLA path (ops/xla_dp.py).
 SK_BYTES_PER_PAIR_MAX = 24 << 20
 
+#: Per-pair stream budget for the engine's TWO-STAGE dispatch: beyond this
+#: (roughly bucket edges > ~300) the materialized-stream segments get so
+#: small that dispatch churn dominates; the single-jit stacked path wins
+#: (measured 11.7 vs 29+ GCUPS at 512-1024 DNA).
+TWO_STAGE_MAX_PP = 96 << 10
+
 
 def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -104,7 +110,9 @@ def geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int, int]:
 
 
 def pick_S(B: int, Kpad: int, W: int, target_bytes: int = 256 << 20) -> int:
-    """Superblock height: bound the materialized score grid in HBM."""
+    """Superblock height: bound the materialized score grid in HBM (long
+    buckets instead take the single-jit stacked path, engine.TWO_STAGE_MAX_PP,
+    which keeps the grid an in-jit temporary)."""
     s = target_bytes // (B * Kpad * W)
     return max(1, min(256, int(s)))
 
