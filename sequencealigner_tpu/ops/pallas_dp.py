@@ -230,11 +230,11 @@ def _make_kernel(algo: str, CD: int, W: int):
                 v = jnp.where(kiota < sh, v, jnp.maximum(v, rolled))
             return v
 
-        def step(i, carry):
+        def step(i, ab, j, carry):
             w = c * CD + i  # 0-based column
             sd = sk_ref[0, i].astype(jnp.int32)  # (KB, B)
-            h_ab = prev[rp, 0, pl.ds(w + 1, 1)]  # H[k0-1][col w]
-            h_ab_prev = prev[rp, 0, pl.ds(w, 1)]  # H[k0-1][col w-1]
+            h_ab = ab[0][j + 1 : j + 2]  # H[k0-1][col w]
+            h_ab_prev = ab[0][j : j + 1]  # H[k0-1][col w-1]
             hprev, xprev, acc = carry
             m = jnp.where(
                 k0mask, h_ab_prev,
@@ -249,7 +249,7 @@ def _make_kernel(algo: str, CD: int, W: int):
                 return (h, xprev, acc)
             x = jnp.maximum(hprev + opn, xprev + ext)
             z = jnp.maximum(m, x)
-            y_ab = prev[rp, 1, pl.ds(w + 1, 1)]
+            y_ab = ab[1][j + 1 : j + 2]
             zshift = jnp.where(
                 k0mask,
                 jnp.maximum(y_ab + ext, h_ab + opn),
@@ -266,9 +266,20 @@ def _make_kernel(algo: str, CD: int, W: int):
             prev[wp_par, 1, pl.ds(w + 1, 1)] = y[KB - 1 : KB]
             return (h, x, acc)
 
+        def step8(i8, carry):
+            # Batch the band-above reads for 8 columns (one (9, B) slice per
+            # stream instead of per-step (1, B) slices) and peel the 8 steps
+            # with static sub-indices — also amortizes loop overhead.
+            base = pl.multiple_of(i8 * 8, 8)
+            w0 = c * CD + base
+            ab = [prev[rp, s, pl.ds(w0, 9)] for s in range(nprev)]
+            for j in range(8):
+                carry = step(base + j, ab, j, carry)
+            return carry
+
         carry0 = (state[0], state[1], state[2])
         carry = jax.lax.fori_loop(  # int32 bounds: int64 cannot lower in Mosaic
-            jnp.int32(0), jnp.int32(CD), step, carry0
+            jnp.int32(0), jnp.int32(CD // 8), step8, carry0
         )
         for idx in range(3):
             state[idx] = carry[idx]
