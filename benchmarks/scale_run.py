@@ -64,6 +64,23 @@ def config4(n, pair_budget_cells, skip_filter, hdf5_rows, tmp):
     log(phase="dataset", n=n, total_chars=int(ss.offsets[-1]),
         seconds=round(time.perf_counter() - t0, 2))
 
+    # Config 4 specifies DSV input: round-trip the set through a real CSV
+    # file and the production loader (native fast path when available).
+    from sequencealigner_tpu.io import input as sio
+
+    csv = tmp / "c4.csv"
+    with open(csv, "wb") as f:
+        f.write(b"id,sequence\n")
+        for k in range(ss.num):
+            f.write(str(k).encode() + b"," + ss.get_bytes(k) + b"\n")
+    t0 = time.perf_counter()
+    ss2 = sio.load(str(csv), m.lut, gap_pen=0)
+    dt = time.perf_counter() - t0
+    assert ss2.num == ss.num and bytes(ss2.data) == bytes(ss.data)
+    log(phase="dsv_parse", rows=n, file_bytes=csv.stat().st_size,
+        seconds=round(dt, 2), mb_per_sec=round(csv.stat().st_size / dt / 1e6))
+    ss = ss2
+
     if not skip_filter:
         t0 = time.perf_counter()
         fss, dropped = filt.filter_sequences(ss, 0.9, progress=False)
