@@ -128,6 +128,45 @@ def test_stream_builder():
                 assert sk[0, w, k, b] == want, (k, w, b)
 
 
+def test_kernel_randomized_shapes():
+    """Randomized shape/matrix/gap fuzz (fixed seed): guards the kernel's
+    geometry/border/capture logic across bucket-edge-unaligned shapes."""
+    mats = ["blosum62", "pam250", "nuc44"]
+    rng = np.random.default_rng(99)
+    for _ in range(4):
+        mname = mats[rng.integers(0, len(mats))]
+        Mx = matrices.get(mname)
+        subp = padded_submatrix(Mx.matrix)
+        nlet = 16 if mname == "nuc44" else 20
+        algo = ["nw", "ga", "sw"][rng.integers(0, 3)]
+        if algo == "nw":
+            gaps = (-int(rng.integers(1, 13)), 0, 0)
+        else:
+            gaps = (0, -int(rng.integers(1, 15)), -int(rng.integers(1, 15)))
+        Lc = int(rng.integers(2, 120))
+        Lk = int(rng.integers(1, Lc + 1))
+        n = 128
+        l1 = rng.integers(1, Lc + 1, n).astype(np.int32)
+        l2 = rng.integers(1, Lk + 1, n).astype(np.int32)
+        s1 = np.full((n, Lc), PAD, np.int32)
+        s2 = np.full((n, Lk), PAD, np.int32)
+        for b in range(n):
+            s1[b, : l1[b]] = rng.integers(0, nlet, l1[b])
+            s2[b, : l2[b]] = rng.integers(0, nlet, l2[b])
+        got = np.asarray(
+            align_superblock(
+                s1, s2, l1, l2, subp, np.array(gaps, np.int32),
+                algo=algo, Lc=Lc, Lk=Lk, B=128, interpret=True,
+            )
+        )
+        for b in range(0, n, 11):
+            want = oracle.align_score(
+                algo, s1[b, : l1[b]], s2[b, : l2[b]], Mx.matrix,
+                gap=gaps[0], opn=gaps[1], ext=gaps[2],
+            )
+            assert got[b] == want, (algo, mname, gaps, Lc, Lk, b)
+
+
 def test_geometry_helpers():
     assert round_up(65, 32) == 96
     nb, Kpad, CD, W = geometry(100, 96, 128)
