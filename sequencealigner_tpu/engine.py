@@ -170,8 +170,21 @@ def _stack_body(
             out = out.astype(jnp.int16)
         return out
 
-    return jax.lax.map(body, starts)
+    return _map1(body, starts)
 
+
+
+
+def _map1(body, xs):
+    """lax.map that skips the loop machinery for single-element stacks
+    (common: mid-shape segments are often one superblock; the while-loop
+    wrapper measurably costs on such dispatches)."""
+    leaves = jax.tree_util.tree_leaves(xs)
+    if leaves and leaves[0].shape[0] == 1:
+        one = jax.tree_util.tree_map(lambda a: a[0], xs)
+        out = body(one)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
+    return jax.lax.map(body, xs)
 
 # ---- two-stage Pallas dispatch ---------------------------------------------
 # The score-grid build (MXU one-hot dots + one transpose) and the Pallas DP
@@ -202,7 +215,7 @@ def _build_stack(
         )
         return sk, l1b, l2b
 
-    return jax.lax.map(body, starts)
+    return _map1(body, starts)
 
 
 @partial(
@@ -221,7 +234,7 @@ def _score_stack_prebuilt(
         )
         return out.astype(jnp.int16) if int16_ok else out
 
-    return jax.lax.map(body, (sks, l1s, l2s))
+    return _map1(body, (sks, l1s, l2s))
 
 
 @partial(
@@ -293,7 +306,7 @@ def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int,
             )
             return sk, l1b, l2b
 
-        return jax.lax.map(one, starts)
+        return _map1(one, starts)
 
     rep = P()
     f = shard_map(
@@ -319,7 +332,7 @@ def _sharded_kernel(
             )
             return out.astype(jnp.int16) if int16_ok else out
 
-        return jax.lax.map(one, (sks, l1s, l2s))
+        return _map1(one, (sks, l1s, l2s))
 
     sh = P(None, "pairs")
     f = shard_map(
