@@ -45,13 +45,15 @@ def linear_to_pair(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return i, j
 
 
-# Length edges are multiples of 32: the Pallas kernel's state row count is
-# K = Lk exactly (analytic border row), so 32-multiple edges are tile-aligned
-# on the int8 sublane dimension AND lane-friendly for the XLA score-stream
-# build.  Edges below 32 share Kpad = 32 and only reduce the diagonal count
-# D = Lc + Lk, so a couple are kept for short-sequence density.
+# Length edges: the column-sweep kernel pads rows to multiples of KB = 32
+# but columns only to multiples of 8, so edges need not be 32-multiples.
+# The short end stays COARSE: every extra edge multiplies bucket combos and
+# hence dispatches, and short-sequence runs are dispatch/host-bound (adding
+# a 48 edge measured a net e2e LOSS on the 1k-protein bench).  The long end
+# gets intermediate edges (160, 320, 640): there device time dominates and
+# ~1.3x spacing cuts real padded work.
 DEFAULT_EDGES = (
-    16, 24, 32, 64, 96, 128, 192, 256, 384, 512, 768,
+    16, 24, 32, 64, 96, 128, 160, 192, 256, 320, 384, 512, 640, 768,
     1024, 1536, 2048, 3072, 4096, 6144, 8192,
 )
 

@@ -37,9 +37,11 @@ def test_bucket_edges():
     assert bucket_edges(100) == [16, 24, 32, 64, 96, 128]
     assert bucket_edges(8192)[-1] == 8192
     assert bucket_edges(100000)[-1] >= 100000
-    # beyond-table growth keeps K = edge tile-aligned
+    # edges are multiples of 8 (the kernel's column granularity); the
+    # beyond-table growth additionally keeps them 32-multiples
     for e in bucket_edges(100000):
-        if e > 31:
+        assert e % 8 == 0, e
+        if e > 8192:
             assert e % 32 == 0, e
 
 
