@@ -593,6 +593,14 @@ class Engine:
             # Fetch per dtype group: short-pair dispatches return int16 to
             # halve transfer; concatenating with int32 would upcast on device
             # and forfeit the saving.
+            # Atomically claim progress credit for still-uncounted entries:
+            # without the claim, the poller thread could mark-and-count an
+            # entry between this loop reading `counted` and adding, double
+            # counting it.
+            with self._plock:
+                claimed = {id(e): not e[2] for e in pending}
+                for e in pending:
+                    e[2] = True
             fetched: dict = {}
             for dt in {d.dtype for d, _, _ in pending}:
                 group = [d for d, _, _ in pending if d.dtype == dt]
@@ -601,7 +609,8 @@ class Engine:
             offs = {dt: 0 for dt in fetched}
             off = 0
             ii, jj, sc, committed = [], [], [], []
-            for dev, blks, counted in pending:
+            for entry in pending:
+                dev, blks, _ = entry
                 buf = fetched[dev.dtype]
                 off = offs[dev.dtype]
                 for gidx, blk in blks:
@@ -615,7 +624,7 @@ class Engine:
                     committed.append(gidx)
                     stats.pairs += blk.n_valid
                     stats.cells += blk.cells
-                    if bar and not counted:
+                    if bar and claimed[id(entry)]:
                         bar.add(blk.n_valid)
                 offs[dev.dtype] = off
             cat = lambda xs, dt: (

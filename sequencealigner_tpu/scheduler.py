@@ -132,7 +132,22 @@ class Schedule:
             if end > start:
                 buckets.append(Bucket(edge=e, start=start, end=end))
                 start = end
-        return cls(order=order, buckets=buckets, lengths_sorted=ls)
+        # Merge tiny buckets upward: every bucket multiplies the combo count
+        # (hence dispatches and compiled shapes), and a handful of sequences
+        # in their own bucket cost more in per-combo overhead than their
+        # extra padding in the next bucket does.
+        min_count = max(64, len(order) // 64)
+        merged: list[Bucket] = []
+        for b in buckets:
+            if merged and merged[-1].count < min_count:
+                prev = merged.pop()
+                b = Bucket(edge=b.edge, start=prev.start, end=b.end)
+            merged.append(b)
+        if len(merged) > 1 and merged[-1].count < min_count:
+            last = merged.pop()
+            prev = merged.pop()
+            merged.append(Bucket(edge=last.edge, start=prev.start, end=last.end))
+        return cls(order=order, buckets=merged, lengths_sorted=ls)
 
     def combos(self) -> list[tuple[int, int]]:
         """(k_bucket, c_bucket) combos with k <= c, in ascending-cost order."""
