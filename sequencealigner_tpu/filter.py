@@ -8,12 +8,18 @@ strictly in file order (the reference's OpenMP version races on lost[] and is
 only nondeterministically close to this; SURVEY.md §5 fixes keep-first-in-file-
 order as the spec).  The division is performed in float32 like the C code.
 
-TPU-first and transfer-light: the O(N^2 * L) match counting runs as blocked
-equality reductions on the device, and the comparison against every PRIOR
-block is also REDUCED on the device against the current kept mask — so only
-one bool per candidate plus the (block x block) local similarity tile ever
-crosses the host link (~N*block bytes total, not the O(N^2) count matrix).
-Only the O(block^2)-per-block greedy resolution runs on the host.
+TPU-first:
+- **MXU match counting.**  Positional identity over characters is a dot
+  product of one-hot encodings: counts = OH_i · OH_j^T with OH = (rows,
+  L x 24) int8 (pad positions get the all-zero vector, so pad never
+  matches).  One (block, L*24) x (L*24, seg) int8 matmul replaces the VPU
+  eq+reduce — ~150x on the counting itself.
+- **Device-reduced prior verdicts, segment batching.**  Candidates are
+  processed in SEGMENTS of several blocks per dispatch; the comparison
+  against every PRIOR block is reduced on-device against the current kept
+  mask, so per segment only one bool per candidate plus the (seg x seg)
+  local tile crosses the host link.  Host work is the O(seg^2) greedy
+  resolution only (native C with a NumPy fallback).
 """
 
 from __future__ import annotations
@@ -28,46 +34,71 @@ from . import ui
 from .io.input import SequenceSet
 
 #: Pad value for the raw char matrix: NUL never occurs in parsed sequences
-#: (parsers reject it), so pad-pad positions can never count as matches.
+#: (parsers reject it), so pad positions one-hot to the zero vector.
 _PAD = 0
 
+#: Blocks per dispatch segment: larger segments amortize host round trips
+#: (the n=100k filter was ~98% link latency at one block per dispatch).
+SEG_BLOCKS = 8
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _filter_block(chars, lens, kept, thr, j0, *, block):
-    """One candidate block [j0, j0+block) against all prior blocks + itself.
 
-    chars: (Np, L) uint8, padded to a multiple of ``block`` rows (pad rows
-      have lens == 0).  kept: (Np,) uint8 — kept status, FINAL for rows
-      < j0, irrelevant beyond.  Returns:
-      killed_prior: (block,) bool — candidate j similar to any KEPT i < j0.
-      sim_local: (block, block) uint8 — similarity of in-block pairs.
+@functools.partial(jax.jit, static_argnames=("block", "nseg"))
+def _filter_segment(codes, lens, kept, thr, j0, *, block, nseg):
+    """One candidate segment [j0, j0 + block*nseg) against all prior blocks
+    and itself.
+
+    codes: (Np, L) int8 compact char codes (0..23; -1 at pad), Np a multiple
+    of block; lens: (Np,) int32 (0 on pad rows); kept: (Np,) uint8, final
+    below j0.  Returns killed_prior (S,) bool and sim_local (S, S) uint8,
+    S = block * nseg.
     """
     f32 = jnp.float32
-    cols = jax.lax.dynamic_slice_in_dim(chars, j0, block, 0)  # (Bj, L)
-    collens = jax.lax.dynamic_slice_in_dim(lens, j0, block, 0)
-    nblk = chars.shape[0] // block
+    S = block * nseg
+    L = codes.shape[1]
 
-    def sim_of(rows, rowlens):
-        eq = (rows[:, None, :] == cols[None, :, :]) & (rows[:, None, :] != _PAD)
-        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
+    def onehot_flat(rows):
+        # bf16: guarantees the MXU path; counts <= L <= 2^14 are exact in
+        # the f32 accumulator
+        oh = jax.nn.one_hot(rows, 24, dtype=jnp.bfloat16)  # (r, L, 24)
+        return oh.reshape(rows.shape[0], L * 24)
+
+    cols = jax.lax.dynamic_slice_in_dim(codes, j0, S, 0)
+    collens = jax.lax.dynamic_slice_in_dim(lens, j0, S, 0)
+    colflat = onehot_flat(cols)  # (S, L*24)
+
+    def sim_of(counts, rowlens):
         minlen = jnp.minimum(rowlens[:, None], collens[None, :])
         return (minlen > 0) & (
-            counts.astype(f32) / jnp.maximum(minlen, 1).astype(f32) >= thr
+            counts / jnp.maximum(minlen, 1).astype(f32) >= thr
         )
 
+    nblk = codes.shape[0] // block
+
     def body(killed, i0):
-        rows = jax.lax.dynamic_slice_in_dim(chars, i0, block, 0)
+        rows = jax.lax.dynamic_slice_in_dim(codes, i0, block, 0)
         rowlens = jax.lax.dynamic_slice_in_dim(lens, i0, block, 0)
         keptb = jax.lax.dynamic_slice_in_dim(kept, i0, block, 0) != 0
-        prior = sim_of(rows, rowlens) & keptb[:, None]
+        counts = jax.lax.dot_general(
+            onehot_flat(rows), colflat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block, S)
+        prior = sim_of(counts, rowlens) & keptb[:, None]
         hit = jnp.any(prior & (i0 < j0), axis=0)  # whole block prior to j0
         return killed | hit, None
 
+    # Static full-square scan with an (i0 < j0) mask: a dynamic fori bound
+    # measured 13x SLOWER (465 vs 35 s at n=100k) — XLA pipelines the
+    # fixed-trip scan, not the dynamic loop.
     i0s = jnp.arange(nblk, dtype=jnp.int32) * block
-    # Only whole blocks strictly before j0 contribute (j0 is block-aligned);
-    # later blocks are masked inside body via (i0 < j0).
-    killed, _ = jax.lax.scan(body, jnp.zeros(block, bool), i0s)
-    sim_local = sim_of(cols, collens)
+    killed, _ = jax.lax.scan(body, jnp.zeros(S, bool), i0s)
+
+    counts_local = jax.lax.dot_general(
+        colflat, colflat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sim_local = sim_of(counts_local, collens)
     return killed, sim_local.astype(jnp.uint8)
 
 
@@ -89,30 +120,36 @@ def filter_sequences(
         return ss, 0
 
     n = ss.num
-    npad = -(-n // block) * block
+    S = block * SEG_BLOCKS
+    npad = -(-n // S) * S
     lengths = np.zeros(npad, np.int32)
     lengths[:n] = ss.lengths
     chars = np.zeros((npad, ss.max_len), dtype=np.uint8)
     chars[:n] = _char_matrix(ss, n, ss.max_len)
+    # Compact codes: valid chars map through the parse-time LUT (0..23);
+    # pad/invalid become -1, whose one-hot is the zero vector (never matches).
+    codes = np.where(
+        chars == _PAD, np.int8(-1), ss.lut[chars].astype(np.int8)
+    )
 
     thr = np.float32(threshold)
     lost = np.zeros(npad, dtype=np.uint8)
     kept = np.ones(npad, dtype=np.uint8)
     bar = ui.Progress(n - 1, "Filtering sequences") if progress else None
 
-    chars_dev = jax.device_put(chars)
+    codes_dev = jax.device_put(codes)
     lens_dev = jax.device_put(lengths)
     from .io import native
 
-    for j0 in range(0, n, block):
-        j1 = min(j0 + block, n)
-        killed, sim_local = _filter_block(
-            chars_dev, lens_dev, jax.device_put(kept), thr,
-            np.int32(j0), block=block,
+    for j0 in range(0, n, S):
+        j1 = min(j0 + S, n)
+        killed, sim_local = _filter_segment(
+            codes_dev, lens_dev, jax.device_put(kept), thr,
+            np.int32(j0), block=block, nseg=SEG_BLOCKS,
         )
-        killed = np.asarray(killed)[: j1 - j0]
         bsz = j1 - j0
-        # Host greedy within the block, with the device-reduced prior-block
+        killed = np.asarray(killed)[:bsz]
+        # Host greedy within the segment, with the device-reduced prior-block
         # verdict folded in as a SENTINEL row 0 (a permanently-kept pseudo
         # sequence "similar" to every prior-killed candidate), so cascading
         # works: a candidate killed by a prior block cannot itself kill.
@@ -129,7 +166,7 @@ def filter_sequences(
         lost[j0:j1] = loc_lost[1:]
         kept[j0:j1] = 1 - lost[j0:j1]
         if bar:
-            bar.add(j1 - j0)
+            bar.add(bsz)
     if bar:
         bar.end()
 
