@@ -11,3 +11,62 @@ promotion semantics stay 32-bit.
 import jax as _jax
 
 _jax.config.update("jax_explicit_x64_dtypes", "allow")
+
+
+def align(
+    sequences,
+    *,
+    algo: str = "ga",
+    matrix: str = "blosum62",
+    gap: int = 4,
+    open: int = 10,
+    extend: int = 1,
+    filter_threshold: float = 0.0,
+    device: str = "auto",
+    progress: bool = False,
+):
+    """Library entry point: all-vs-all similarity matrix for ``sequences``.
+
+    sequences: iterable of str/bytes.  algo: "nw" (linear gap, uses ``gap``)
+    | "ga" | "sw" (affine, use ``open``/``extend``).  Penalties are positive
+    magnitudes, negated internally like the CLI (-p/-s/-e,
+    reference src/bio/align.c:127-128).  Returns an (n, n) int32 NumPy
+    array (0 on the diagonal); with filter_threshold > 0 returns
+    (matrix, kept_indices) instead.
+
+    >>> import sequencealigner_tpu as sa
+    >>> m = sa.align(["ARNDCQ", "ARNDCC"], algo="nw", gap=4)
+    """
+    import numpy as np
+
+    from . import filter as _filter
+    from . import matrices as _matrices
+    from .engine import Engine
+    from .io.input import SequenceSet
+    from .io.output import OutputStore
+
+    m = _matrices.get(matrix)
+    seqs = [
+        np.frombuffer(s.upper().encode() if isinstance(s, str) else bytes(s).upper(),
+                      np.uint8)
+        for s in sequences
+    ]
+    ss = SequenceSet.from_list(seqs, m.lut)
+    kept = None
+    if filter_threshold > 0.0:
+        ss, _dropped = _filter.filter_sequences(
+            ss, filter_threshold, progress=progress
+        )
+        kept = ss.kept
+    if algo == "nw":
+        gaps = (-abs(int(gap)), 0, 0)
+    else:
+        gaps = (0, -abs(int(open)), -abs(int(extend)))
+    store = OutputStore(ss.num, triangular=False, spill=False)
+    eng = Engine(algo, m.matrix, gaps, device_kind=device)
+    eng.align_all(ss, store, progress=progress)
+    out = np.asarray(store.matrix).reshape(ss.num, ss.num)
+    if filter_threshold > 0.0:
+        return out, kept
+    return out
+

@@ -173,7 +173,10 @@ def filter_sequences(
     lost = lost.view(bool)[:n]
     dropped = int(lost.sum())
     if dropped == 0:
+        ss.kept = np.arange(n, dtype=np.int64)
         return ss, 0
     keep = np.flatnonzero(~lost)
     seqs = [ss.data[ss.offsets[i] : ss.offsets[i + 1]] for i in keep]
-    return SequenceSet.from_list(seqs, ss.lut), dropped
+    out = SequenceSet.from_list(seqs, ss.lut)
+    out.kept = keep.astype(np.int64)  # original indices of the survivors
+    return out, dropped

@@ -273,3 +273,21 @@ def test_large_gap_penalties_exceed_int16():
     got = np.asarray(store.matrix).reshape(ss.num, ss.num)
     assert want.min() < -32768  # the scenario really exceeds int16
     np.testing.assert_array_equal(got, want)
+
+
+def test_library_align_entry_point():
+    """sequencealigner_tpu.align(): the documented library API."""
+    import sequencealigner_tpu as sa
+
+    seqs = ["ARNDCQ", "ARNDCC", "WWWWWW", "ARNDCQ"]
+    m = sa.align(seqs, algo="nw", gap=4)
+    assert m.shape == (4, 4) and (m == m.T).all() and m[0, 0] == 0
+    idx = [matrices.get("blosum62").lut[np.frombuffer(s.encode(), np.uint8)]
+           for s in seqs]
+    want01 = oracle.align_score("nw", idx[0], idx[1], M.matrix, gap=-4, opn=0, ext=0)
+    assert m[0, 1] == want01
+    # filtered variant returns (matrix, kept original indices)
+    m2, kept = sa.align(seqs, algo="sw", open=10, extend=1,
+                        filter_threshold=0.99)
+    assert list(kept) == [0, 1, 2]  # the duplicate of #0 is dropped
+    assert m2.shape == (3, 3)
