@@ -9,7 +9,7 @@ flush costs ONE host synchronization (host<->device round trips dominate on
 tunneled single-chip setups and are precious everywhere).
 
 Compute paths:
-- TPU: the Pallas wavefront kernel (ops/pallas_dp.py).
+- TPU: the Pallas column-sweep kernel (ops/pallas_dp.py).
 - CPU / virtual meshes: the XLA lax.scan wavefront (ops/xla_dp.py), with the
   block batch dimension sharded over a 1-D ``pairs`` mesh axis (data
   parallelism over the pair space — the only parallelism the problem has,
@@ -221,7 +221,6 @@ def _build_stack(
 @partial(
     jax.jit,
     static_argnames=("algo", "Lc", "Lk", "B", "int16_ok", "interpret"),
-    donate_argnames=("sks",),  # stream buffers freed as soon as scored
 )
 def _score_stack_prebuilt(
     sks, l1s, l2s, gaps, *, algo, Lc, Lk, B, int16_ok, interpret=False,
@@ -341,7 +340,7 @@ def _sharded_kernel(
         out_specs=P(None, "pairs"),
         check_vma=False,
     )
-    return jax.jit(f, donate_argnums=(0,))
+    return jax.jit(f)
 
 
 @dataclasses.dataclass
@@ -513,7 +512,11 @@ class Engine:
                         Lk=Lk, B=B, int16_ok=int16_ok,
                         interpret=self.pallas_interpret,
                     )
-                del sks  # free the stream buffer once the kernel consumed it
+                # Dropping the host reference frees the stream buffer as
+                # soon as the kernel dispatch consumes it (donation would
+                # add nothing: the output cannot reuse the int8 buffer, and
+                # XLA warns on every call).
+                del sks
                 self._pace(seg * sb_bytes, dev)
             elif self.ndev > 1:
                 dev = _sharded_scorer(
