@@ -438,9 +438,13 @@ class Engine:
             B = pallas_dp.LANE  # one lane tile of pairs per stripe
             nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
             S = pallas_dp.pick_S(B, Kpad, W)
-            # Shrink for small combos (fewer wasted pad pairs), but keep the
-            # per-device shard a whole number of B-wide stripes.
+            # Shrink for small combos (fewer wasted pad pairs), but QUANTIZE
+            # the stripe count to a power of two: an exact-fit S would make
+            # every dataset's combo sizes compile fresh executables (a 4k-seq
+            # DSV run measured ~10 min of first-run compiles before this),
+            # and keep the per-device shard a whole number of B-wide stripes.
             s_needed = -(-npairs // B)
+            s_needed = 1 << (max(1, s_needed) - 1).bit_length()
             s_needed = -(-s_needed // self.ndev) * self.ndev
             S = max(self.ndev, min(S // self.ndev * self.ndev, s_needed))
             return S * B, B
