@@ -210,12 +210,31 @@ class TestFilter:
             for _ in range(40)
         ]
         ss = self._ss(strs)
-        a, da = filter_sequences(ss, 0.6, block=7, progress=False)
+        # block=4 -> segments of 32: the pair space CROSSES dispatch
+        # segments, exercising the device-reduced prior-segment verdicts.
+        a, da = filter_sequences(ss, 0.6, block=4, progress=False)
         b, db = filter_sequences(ss, 0.6, block=512, progress=False)
         assert da == db
         assert [a.get_str(i) for i in range(a.num)] == [
             b.get_str(i) for i in range(b.num)
         ]
+
+    def test_cross_segment_kill_and_cascade(self):
+        # Segment-1's base kills B in segment 2 (prior-segment verdict);
+        # C (same segment as B) is similar only to the KILLED B, not to
+        # base, so C must survive — the greedy cascade must see B's
+        # non-kept status from the device-reduced verdict.  block=1 ->
+        # segment size 8: base idx 0, B idx 8, C idx 9.
+        base = "AAAAAAAAAA"
+        b = "AAAAAAAACC"    # 8/10 vs base -> killed by base
+        c = "AAAAAACCCC"    # 6/10 vs base (survives), 8/10 vs b
+        filler = ["GGGGCCCCGG", "CCCCGGGGCC", "GCGCGCGCGC", "CGCGCGCGCG",
+                  "GGCCGGCCGG", "CCGGCCGGCC", "GCCGGCCGGC"]
+        strs = [base] + filler + [b, c]
+        ss = self._ss(strs)
+        out, dropped = filter_sequences(ss, 0.75, block=1, progress=False)
+        kept = [out.get_str(i) for i in range(out.num)]
+        assert dropped == 1 and base in kept and c in kept and b not in kept
 
 
 def test_engine_long_sequences_streamed_path():
@@ -291,3 +310,16 @@ def test_library_align_entry_point():
                         filter_threshold=0.99)
     assert list(kept) == [0, 1, 2]  # the duplicate of #0 is dropped
     assert m2.shape == (3, 3)
+
+
+def test_align_all_limit_pairs():
+    """limit_pairs truncates scheduling at a superblock boundary with
+    consistent stats (the scale-benchmark knob)."""
+    rng = np.random.default_rng(21)
+    ss = make_set(rng, 60)
+    eng = Engine("ga", M.matrix, (0, -10, -1), target_cells=1 << 12)
+    total = ss.num * (ss.num - 1) // 2
+    stats = eng.align_all(ss, None, progress=False, limit_pairs=total // 3)
+    assert total // 3 <= stats.pairs < total
+    full = eng.align_all(ss, None, progress=False)
+    assert full.pairs == total
