@@ -389,6 +389,10 @@ class Engine:
         # such matrices to the int32 XLA wavefront instead.
         if self.use_pallas and np.abs(np.asarray(sub, np.int64)).max() > 127:
             self.use_pallas = False
+            ui.pwarn(
+                "Substitution scores exceed the int8 kernel range; using the "
+                "slower XLA path on this device"
+            )
         # interpret=True runs the real Pallas kernel logic through the
         # interpreter — the way virtual-mesh (CPU) tests exercise the
         # kernel+shard_map interaction without TPU hardware.
