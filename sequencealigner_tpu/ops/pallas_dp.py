@@ -85,9 +85,17 @@ SK_BYTES_PER_PAIR_MAX = 24 << 20
 
 #: Per-pair stream budget for the engine's TWO-STAGE dispatch: beyond this
 #: (roughly bucket edges > ~300) the materialized-stream segments get so
-#: small that dispatch churn dominates; the single-jit stacked path wins
-#: (measured 11.7 vs 29+ GCUPS at 512-1024 DNA).
-TWO_STAGE_MAX_PP = 96 << 10
+#: small that PER-DISPATCH HOST/LINK overhead dominates on this 1-core
+#: tunneled host; the single-jit stacked path wins there (measured 11.7 vs
+#: 29+ GCUPS at 512-1024 DNA).  On low-latency multicore hosts the
+#: two-stage path is faster at every size (its device rate is ~2x the
+#: fused single-jit's, whose build suffers XLA's layout assignment around
+#: the Pallas call) — raise this via SEQALIGN_TPU_TWO_STAGE_MAX_PP there.
+import os as _os
+
+TWO_STAGE_MAX_PP = int(
+    _os.environ.get("SEQALIGN_TPU_TWO_STAGE_MAX_PP", 96 << 10)
+)
 
 
 def round_up(x: int, m: int) -> int:
