@@ -49,7 +49,10 @@ from .scheduler import Schedule
 ALGOS = ("nw", "ga", "sw")
 
 #: Pairs in flight before a flush (bounds host memory for block metadata).
-FLUSH_PAIRS = 1 << 22
+#: Flushes run on a background thread (see align_all.do_flush), so a smaller
+#: value trades a little per-dispatch overhead for D2H-fetch/scatter overlap
+#: with the next wave's device compute.
+FLUSH_PAIRS = int(os.environ.get("SEQALIGN_TPU_FLUSH_PAIRS", 1 << 22))
 
 #: Max score-grid bytes materialized by ONE build dispatch (stage A).
 STREAM_SEG_BYTES = int(
@@ -595,32 +598,36 @@ class Engine:
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
         resumed_triplets: list = []  # journaled blocks to re-merge (multihost)
         inflight = 0
+        flusher: list = []  # [thread] — at most one outstanding async flush
+        flush_exc: list = []
 
-        def flush():
-            nonlocal inflight
-            if not pending and merger is None:
-                inflight = 0
-                return
+        def do_flush(batch):
+            """Drain one claimed batch: fetch device scores, scatter into the
+            store, commit the journal.  Runs on the background flusher thread
+            (single-host) so the D2H fetch and the numpy scatter overlap the
+            next superblocks' dispatches — the TPU-native analogue of the
+            reference's double-buffered compute/copy stream overlap
+            (src/interface/seqalign_cuda.c:151-290, two score buffers)."""
             # Fetch per dtype group: short-pair dispatches return int16 to
             # halve transfer; concatenating with int32 would upcast on device
             # and forfeit the saving.
             # Atomically claim progress credit for still-uncounted entries:
             # without the claim, the poller thread could mark-and-count an
-            # entry between this loop reading `counted` and adding, double
+            # entry between this loop reading the flag and adding, double
             # counting it.
             with self._plock:
-                claimed = {id(e): not e[2] for e in pending}
-                for e in pending:
+                claimed = {id(e): not e[2] for e in batch}
+                for e in batch:
                     e[2] = True
             fetched: dict = {}
-            for dt in {d.dtype for d, _, _ in pending}:
-                group = [d for d, _, _ in pending if d.dtype == dt]
+            for dt in {d.dtype for d, _, _ in batch}:
+                group = [d for d, _, _ in batch if d.dtype == dt]
                 catd = jnp.concatenate(group) if len(group) > 1 else group[0]
                 fetched[dt] = np.asarray(catd).astype(np.int32)
             offs = {dt: 0 for dt in fetched}
             off = 0
             ii, jj, sc, committed = [], [], [], []
-            for entry in pending:
+            for entry in batch:
                 dev, blks, _ = entry
                 buf = fetched[dev.dtype]
                 off = offs[dev.dtype]
@@ -644,7 +651,9 @@ class Engine:
             if resumed_triplets:
                 # Multi-host resume: re-contribute journaled blocks' scores
                 # (read back from this host's persistent store) so peers that
-                # crashed before their own fill converge too.
+                # crashed before their own fill converge too.  (merger path
+                # only, which always flushes synchronously — no race with
+                # take() appending.)
                 ii.extend(t[0] for t in resumed_triplets)
                 jj.extend(t[1] for t in resumed_triplets)
                 sc.extend(t[2] for t in resumed_triplets)
@@ -658,10 +667,46 @@ class Engine:
                 if store is not None:
                     store.sync()  # scores durable no later than the journal
                 journal.commit(committed)
+
+        def join_flusher():
+            if flusher:
+                flusher.pop().join()
+            if flush_exc:
+                raise flush_exc.pop()
+
+        def run_flush(batch):
+            try:
+                do_flush(batch)
+            except BaseException as e:  # re-raised on the main thread at join
+                flush_exc.append(e)
+
+        def flush(sync: bool = False):
+            nonlocal inflight
+            # One outstanding async flush max (double buffering): joining the
+            # previous one first also keeps journal commits ordered and bounds
+            # fetched-but-unscattered host memory.
+            join_flusher()
             with self._plock:
+                batch = list(pending)
                 pending.clear()
-            self._inflight.clear()  # flush fetched everything queued
+            self._inflight.clear()  # the batch covers everything queued
             inflight = 0
+            if merger is not None:
+                # Multi-host: the merger participates in collectives, so it
+                # must run on the main thread, at every flush point (even
+                # with an empty batch — peers may contribute), in the same
+                # deterministic order on every host.  Resumed journaled
+                # blocks are re-contributed here too.
+                do_flush(batch)
+                return
+            if not batch:
+                return
+            if sync:
+                do_flush(batch)
+            else:
+                t = threading.Thread(target=run_flush, args=(batch,), daemon=True)
+                flusher.append(t)
+                t.start()
 
         def poll_progress(stop):
             # Live progress between flushes: jax.Array.is_ready() is a
@@ -677,7 +722,12 @@ class Engine:
                     except Exception:
                         return  # probe unsupported; flush-granular fallback
                     if ready:
-                        e[2] = True
+                        # Re-claim under the lock: the flusher may have
+                        # claimed this entry since the snapshot was taken.
+                        with self._plock:
+                            if e[2]:
+                                continue
+                            e[2] = True
                         bar.add(sum(blk.n_valid for _, blk in e[1]))
 
         poll_stop = threading.Event()
@@ -756,7 +806,8 @@ class Engine:
         if poller is not None:
             poll_stop.set()
             poller.join(timeout=2.0)
-        flush()
+        flush(sync=True)
+        join_flusher()  # nothing outstanding after a sync flush; belt-and-braces
         if bar:
             bar.end()
         stats.seconds = time.perf_counter() - t0
