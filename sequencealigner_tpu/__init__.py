@@ -51,6 +51,18 @@ def align(
                       np.uint8)
         for s in sequences
     ]
+    # Validate like the CLI parsers do (fasta.c:56-66 semantics): a char
+    # outside the matrix alphabet maps to LUT -1, which would silently wrap
+    # into the substitution matrix's last row and corrupt scores.
+    lut = np.asarray(m.lut)
+    for sno, s in enumerate(seqs):
+        bad = lut[s] < 0
+        if bad.any():
+            ch = chr(int(s[np.argmax(bad)]))
+            raise ValueError(
+                f"sequence {sno + 1}: invalid character {ch!r} for matrix "
+                f"{matrix!r}"
+            )
     ss = SequenceSet.from_list(seqs, m.lut)
     kept = None
     if filter_threshold > 0.0:

@@ -98,6 +98,16 @@ def make_mesh(device_kind: str = "auto", n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("pairs",))
 
 
+def _int32_ids_ok(npairs: int, same: bool, rows: int) -> bool:
+    """Whether _gather_pairs may run its int32 fast path for a combo: all
+    linear ids must fit int32 AND, for triangle (same-bucket) combos, the
+    j*(j-1) intermediate of the inversion must too — j reaches the bucket
+    row count, so rows above 46340 (~sqrt(2^31)) overflow int32 even though
+    npairs itself still fits (46342..65536-row buckets hit exactly this
+    window; int64 arithmetic is exact there, merely slower on TPU)."""
+    return npairs < (1 << 31) and (not same or rows <= 46340)
+
+
 def _gather_pairs(
     bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
     *, Wloc, same, small, shard_offset=None,
@@ -405,6 +415,7 @@ class Engine:
         self.target_cells = target_cells
         self._rep = NamedSharding(self.mesh, P())
         self._inflight: list = []  # (bytes, dev) pacing queue, see _pace
+        self._inflight_mark = 0  # entries covered by the outstanding flush
         self._plock = threading.Lock()  # guards the pending list (poller)
 
     def _put_rep(self, x):
@@ -671,6 +682,13 @@ class Engine:
         def join_flusher():
             if flusher:
                 flusher.pop().join()
+                # The joined flush fetched scores from every dispatch queued
+                # before it started, so those segments' stage-A stream
+                # buffers are provably freed — only now may _pace's budget
+                # forget them (clearing at claim time undercounted and let
+                # new stage-A streams transiently double the HBM budget).
+                del self._inflight[: self._inflight_mark]
+                self._inflight_mark = 0
             if flush_exc:
                 raise flush_exc.pop()
 
@@ -689,7 +707,7 @@ class Engine:
             with self._plock:
                 batch = list(pending)
                 pending.clear()
-            self._inflight.clear()  # the batch covers everything queued
+            mark = len(self._inflight)  # covered once THIS flush completes
             inflight = 0
             if merger is not None:
                 # Multi-host: the merger participates in collectives, so it
@@ -698,12 +716,15 @@ class Engine:
                 # deterministic order on every host.  Resumed journaled
                 # blocks are re-contributed here too.
                 do_flush(batch)
+                del self._inflight[:mark]
                 return
             if not batch:
                 return
             if sync:
                 do_flush(batch)
+                del self._inflight[:mark]
             else:
+                self._inflight_mark = mark
                 t = threading.Thread(target=run_flush, args=(batch,), daemon=True)
                 flusher.append(t)
                 t.start()
@@ -749,14 +770,22 @@ class Engine:
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
             width, B = self._superblock_width(Lc, Lk, npairs)
-            # closed-form triangle inversion is exact to ~16M bucket rows
-            assert sched.buckets[a].count <= (1 << 24), (
-                "bucket too large for f32 pair-id inversion"
-            )
+            # Closed-form triangle inversion is exact to ~16M bucket rows;
+            # Schedule.build splits larger buckets (scheduler.BUCKET_ROWS_MAX)
+            # so this only guards hand-built schedules.  A real exception,
+            # not an assert: under ``python -O`` an assert would vanish and
+            # the inversion would silently corrupt pair ids.
+            if sched.buckets[a].count > (1 << 24):
+                raise RuntimeError(
+                    f"bucket of {sched.buckets[a].count} rows exceeds the "
+                    "f32 pair-id inversion range; build the schedule with "
+                    "Schedule.build (which splits oversized buckets)"
+                )
+            small = _int32_ids_ok(npairs, a == b, sched.buckets[a].count)
             ctx = (
                 buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
                 self._put_i64(npairs), sub_dev, gaps_dev,
-                Lc, Lk, B, width, a == b, npairs < (1 << 31),
+                Lc, Lk, B, width, a == b, small,
             )
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
             # scored with ONE dispatch per chunk (lax.map over the stack).

@@ -61,6 +61,14 @@ DEFAULT_EDGES = (
 TARGET_CELLS = 1 << 24
 B_MIN, B_MAX = 8, 4096
 
+#: Max rows per bucket: the engine's on-device triangle inversion
+#: (engine._gather_pairs) uses an f32 sqrt whose two-step integer correction
+#: is exact only while bucket rows fit f32 exactly (~2^24).  Oversized
+#: buckets are SPLIT into same-edge chunks at schedule build — chunk pairs
+#: become ordinary rectangle combos, every path stays exact (the reference
+#: instead bisects in full s64 per pair, src/bio/kernels.cu:17-30).
+BUCKET_ROWS_MAX = 1 << 24
+
 
 def block_width(Lc: int, Lk: int, target_cells: int = TARGET_CELLS) -> int:
     b = target_cells // (Lc * Lk)
@@ -147,7 +155,15 @@ class Schedule:
             last = merged.pop()
             prev = merged.pop()
             merged.append(Bucket(edge=last.edge, start=prev.start, end=last.end))
-        return cls(order=order, buckets=merged, lengths_sorted=ls)
+        split: list[Bucket] = []
+        for b in merged:
+            while b.count > BUCKET_ROWS_MAX:
+                split.append(
+                    Bucket(edge=b.edge, start=b.start, end=b.start + BUCKET_ROWS_MAX)
+                )
+                b = Bucket(edge=b.edge, start=b.start + BUCKET_ROWS_MAX, end=b.end)
+            split.append(b)
+        return cls(order=order, buckets=split, lengths_sorted=ls)
 
     def combos(self) -> list[tuple[int, int]]:
         """(k_bucket, c_bucket) combos with k <= c, in ascending-cost order."""

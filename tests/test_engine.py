@@ -1,6 +1,8 @@
 """End-to-end engine tests: all-vs-all scores vs the NumPy oracle, full vs
 triangular stores, multi-device sharding on the virtual CPU mesh."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -323,3 +325,38 @@ def test_align_all_limit_pairs():
     assert total // 3 <= stats.pairs < total
     full = eng.align_all(ss, None, progress=False)
     assert full.pairs == total
+
+
+def test_triangle_inversion_int64_window():
+    # Regression: same-bucket combos with 46342..65536 rows have npairs
+    # < 2^31 but j*(j-1) overflows int32 — the engine must route them to
+    # the int64 inversion (_int32_ids_ok) and the int64 path must be exact.
+    import jax
+
+    from sequencealigner_tpu.engine import _gather_pairs, _int32_ids_ok
+    from sequencealigner_tpu.scheduler import linear_to_pair, pair_count
+
+    count = 50_000
+    npairs = pair_count(count)
+    assert not _int32_ids_ok(npairs, True, count)
+    assert _int32_ids_ok(npairs, False, count)
+    assert _int32_ids_ok(pair_count(46_000), True, 46_000)
+
+    bucket = np.zeros((count, 1), np.int8)
+    lens = np.arange(count, dtype=np.int32)  # lens[r] = r reveals the row
+    W = 64
+    t0 = np.int64(npairs - W)  # the top of the triangle, where j is largest
+
+    f = jax.jit(functools.partial(
+        _gather_pairs, Wloc=W, same=True, small=False))
+    _, _, l1, l2 = f(bucket, bucket, lens, lens, t0, np.int64(npairs))
+    i_ref, j_ref = linear_to_pair(np.arange(t0, t0 + W))
+    np.testing.assert_array_equal(np.asarray(l1), j_ref)  # rc = j
+    np.testing.assert_array_equal(np.asarray(l2), i_ref)  # rk = i
+
+
+def test_library_align_rejects_invalid_characters():
+    import sequencealigner_tpu as sa
+
+    with pytest.raises(ValueError, match="sequence 2.*'1'"):
+        sa.align(["ARNDCQ", "ARND1Q", "ARNDCC"], algo="nw", gap=4)
