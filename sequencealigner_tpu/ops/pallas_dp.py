@@ -165,12 +165,50 @@ def build_stream(
     return out.transpose(0, 2, 3, 1)
 
 
-def _make_kernel(algo: str, CD: int, W: int):
+#: Alphabet slots in the inline-mode profile (24 chars + PAD, padded to the
+#: int8 sublane tile).
+ALPHA = 32
+
+
+def padded_submatrix_i8(sub_p) -> jnp.ndarray:
+    """(ALPHA, ALPHA) int8 submatrix with PAD_MARK everywhere outside the
+    real 24x24 frame (so PAD codes in either sequence score PAD_MARK).
+    Traceable (sub_p may be a device array under jit)."""
+    subm = jnp.full((ALPHA, ALPHA), PAD_MARK, jnp.int8)
+    return subm.at[:24, :24].set(jnp.asarray(sub_p)[:24, :24].astype(jnp.int8))
+
+
+def build_inline(s1, s2, sub_p, *, S: int, B: int, Lc: int, Lk: int,
+                 Kpad: int, W: int):
+    """Inline-mode kernel inputs — NO per-pair score grid, just:
+
+    c1:   (S, W, B)        int32  s1 codes, pair-minor (PAD beyond l1)
+    prof: (S, ALPHA, Kpad, B) int8 per-pair profiles, prof[s, a, k, b] =
+          sub[s2[n, k], a] (n = s*B + b) — a plain row-gather of the padded
+          submatrix followed by the pair-minor transpose; the per-pair MXU
+          contraction of build_stream (74% of device time at short shapes,
+          BASELINE.md r2) is gone entirely.  The kernel contracts the
+          profile against s1 codes in VMEM (_make_kernel inline=True).
+    """
+    subm = padded_submatrix_i8(sub_p)
+    s1p = jnp.pad(s1, ((0, 0), (0, W - Lc)), constant_values=PAD)
+    s2p = jnp.pad(s2, ((0, 0), (0, Kpad - Lk)), constant_values=PAD)
+    prof2 = jnp.take(subm, s2p, axis=0)  # (n, Kpad, ALPHA) int8
+    prof = prof2.reshape(S, B, Kpad, ALPHA).transpose(0, 3, 2, 1)
+    c1 = s1p.reshape(S, B, W).transpose(0, 2, 1).astype(jnp.int32)
+    return c1, prof
+
+
+def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
     sm = np.int32(SCORE_MIN)  # concrete literal (a jnp scalar would be traced)
     nprev = 1 if algo == "nw" else 2  # H (+ Y) bottom-row streams
     LOG = KB.bit_length() - 1
 
-    def kernel(gaps_ref, sk_ref, l1_ref, l2_ref, out_ref, state, prev):
+    def kernel(gaps_ref, *refs):
+        if inline:
+            c1_ref, prof_ref, l1_ref, l2_ref, out_ref, state, prev = refs
+        else:
+            sk_ref, l1_ref, l2_ref, out_ref, state, prev = refs
         band = pl.program_id(1)
         c = pl.program_id(2)
         nchunks = pl.num_programs(2)
@@ -238,9 +276,34 @@ def _make_kernel(algo: str, CD: int, W: int):
                 v = jnp.where(kiota < sh, v, jnp.maximum(v, rolled))
             return v
 
+        if inline:
+            # In-kernel substitution scoring (the reference's in-loop LUT
+            # reads, src/bio/kernels.cu:49-66): select this chunk's scores
+            # from the VMEM-resident per-pair profile with a 25-way
+            # where-chain over the alphabet — the whole (CD, KB, B) slab at
+            # once so the selects run as large fused VPU ops.  No HBM score
+            # grid exists in this mode.
+            c1c = c1_ref[0]  # (CD, B) int32 s1 codes for this chunk
+            sd_all = jnp.broadcast_to(
+                prof_ref[0, PAD][None], (CD, KB, shape[1])
+            )  # PAD slot covers pad columns and any unmatched code
+            for a in range(PAD - 1, -1, -1):
+                sd_all = jnp.where(
+                    (c1c == a)[:, None, :], prof_ref[0, a][None], sd_all
+                )
+
+            def get_sd(i):
+                return jax.lax.dynamic_index_in_dim(
+                    sd_all, i, 0, keepdims=False
+                ).astype(jnp.int32)
+        else:
+
+            def get_sd(i):
+                return sk_ref[0, i].astype(jnp.int32)
+
         def step(i, ab, j, carry):
             w = c * CD + i  # 0-based column
-            sd = sk_ref[0, i].astype(jnp.int32)  # (KB, B)
+            sd = get_sd(i)  # (KB, B)
             h_ab = ab[0][j + 1 : j + 2]  # H[k0-1][col w]
             h_ab_prev = ab[0][j : j + 1]  # H[k0-1][col w-1]
             hprev, xprev, acc = carry
@@ -356,12 +419,57 @@ def align_prebuilt(
     return out.reshape(n)
 
 
+def align_prebuilt_inline(
+    c1, prof, l1, l2, gaps, *, algo: str, Lc: int, Lk: int, B: int,
+    interpret: bool = False
+):
+    """Run the column-sweep kernel with in-kernel scoring: c1/prof from
+    build_inline; substitution scores never touch HBM."""
+    S = prof.shape[0]
+    n = S * B
+    nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    l1b = l1.reshape(S, 1, B).astype(jnp.int32)
+    l2b = l2.reshape(S, 1, B).astype(jnp.int32)
+    gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
+
+    grid = (S, nb, W // CD)
+    nprev = 1 if algo == "nw" else 2
+    out = pl.pallas_call(
+        _make_kernel(algo, CD, W, inline=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps (1, 3)
+            pl.BlockSpec((1, CD, B), lambda s, b, c: (s, c, 0),
+                         memory_space=pltpu.VMEM),  # c1 codes
+            pl.BlockSpec((1, ALPHA, KB, B), lambda s, b, c: (s, 0, b, 0),
+                         memory_space=pltpu.VMEM),  # profile (band slice)
+            pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((3, KB, B), jnp.int32),  # H / X / acc carry handoff
+            pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * S * B * Kpad * W, transcendentals=0,
+            bytes_accessed=S * B * (Kpad * ALPHA + 4 * W),
+        ),
+        interpret=interpret,
+    )(gaps2, c1, prof, l1b, l2b)
+    return out.reshape(n)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "interpret")
+    jax.jit, static_argnames=("algo", "Lc", "Lk", "B", "interpret", "inline")
 )
 def align_superblock(
     s1, s2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, B: int,
-    interpret: bool = False
+    interpret: bool = False, inline: bool = False
 ):
     """Score S*B pairs with the Pallas column-sweep kernel (single jit —
     convenient for tests; the engine dispatches build_stream and
@@ -380,6 +488,14 @@ def align_superblock(
     assert n % B == 0, (n, B)
     S = n // B
     nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    if inline:
+        c1, prof = build_inline(
+            s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
+        )
+        return align_prebuilt_inline(
+            c1, prof, l1, l2, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+            interpret=interpret,
+        )
     sk = build_stream(s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W)
     return align_prebuilt(
         sk, l1, l2, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, interpret=interpret

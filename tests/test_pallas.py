@@ -174,3 +174,27 @@ def test_geometry_helpers():
     assert W % CD == 0 and CD % 8 == 0 and W >= 100
     # chunk fits the VMEM budget with double buffering
     assert CD * KB * 128 <= (2 << 20)
+
+
+@pytest.mark.parametrize("algo,gaps", GAP_CASES)
+@pytest.mark.parametrize("Lc,Lk", [(21, 13), (80, 70)])
+def test_inline_scoring_matches_oracle(algo, gaps, Lc, Lk):
+    """In-kernel substitution scoring (inline mode: no HBM score grid, the
+    kernel selects from VMEM per-pair profiles — the reference's in-loop LUT
+    reads, src/bio/kernels.cu:49-66) is bit-exact vs the oracle, single- and
+    multi-band."""
+    rng = np.random.default_rng(zlib.crc32(f"{algo}{Lc}".encode()) % 2**31)
+    B = 128
+    s1, s2, l1, l2 = random_block(rng, B, Lc, Lk)
+    got = np.asarray(
+        align_superblock(
+            s1, s2, l1, l2, SUB_P, np.array(gaps, np.int32),
+            algo=algo, Lc=Lc, Lk=Lk, B=B, interpret=True, inline=True,
+        )
+    )
+    kw = {"gap": gaps[0], "opn": gaps[1], "ext": gaps[2]}
+    for b in range(0, B, 11):
+        want = oracle.align_score(
+            algo, s1[b, : l1[b]], s2[b, : l2[b]], M.matrix, **kw
+        )
+        assert got[b] == want, (algo, b, got[b], want)
