@@ -47,14 +47,15 @@ def device_times(tracedir):
     return agg, cnt
 
 
-def rate(algo, Lc, Lk, B, S, check=False, reps=4):
+def rate(algo, Lc, Lk, B, S, check=False, reps=4, inline=False):
     n = S * B
     s1 = rng.integers(0, 20, (n, Lc)).astype(np.int32)
     s2 = rng.integers(0, 20, (n, Lk)).astype(np.int32)
     l1 = np.full(n, Lc, np.int32)
     l2 = np.full(n, Lk, np.int32)
     d = [jax.device_put(x) for x in (s1, s2, l1, l2, sub_p, gaps)]
-    f = lambda: pallas_dp.align_superblock(*d, algo=algo, Lc=Lc, Lk=Lk, B=B)
+    f = lambda: pallas_dp.align_superblock(
+        *d, algo=algo, Lc=Lc, Lk=Lk, B=B, inline=inline)
     r = np.asarray(f())
     if check:
         ref = np.asarray(align_block(*d, algo=algo, Lc=Lc, Lk=Lk))
@@ -71,12 +72,14 @@ def rate(algo, Lc, Lk, B, S, check=False, reps=4):
     nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
     true = n * Lc * Lk
     padded = n * Kpad * W
-    print(f"{algo} Lc={Lc} Lk={Lk} B={B} S={S}: device {per*1e3:.2f} ms/call "
-          f"(kernel {perk*1e3:.2f}) -> true={true/per/1e9:.1f} GCUPS  "
+    tag = " inline" if inline else ""
+    print(f"{algo}{tag} Lc={Lc} Lk={Lk} B={B} S={S}: device {per*1e3:.2f} "
+          f"ms/call (kernel {perk*1e3:.2f}) -> true={true/per/1e9:.1f} GCUPS  "
           f"padded-kernel={padded/perk/1e9:.0f} Gcell/s  (CD={CD}, nb={nb})")
 
 
 if __name__ == "__main__":
     for arg in sys.argv[1:]:
         algo, Lc, Lk, B, S, *opts = arg.split(",")
-        rate(algo, int(Lc), int(Lk), int(B), int(S), check="check" in opts)
+        rate(algo, int(Lc), int(Lk), int(B), int(S), check="check" in opts,
+             inline="inline" in opts)

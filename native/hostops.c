@@ -10,6 +10,7 @@
  * Build: gcc -O3 -march=native -fopenmp -shared -fPIC -o libhostops.so hostops.c
  */
 
+#include <math.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -71,6 +72,41 @@ void pack_rows(const uint8_t *data, const int64_t *offsets,
         if (len < edge)
             memset(row + len, pad_value, (size_t)(edge - len));
     }
+}
+
+/* Materialize one scheduler block's pair metadata in a single fused pass:
+ * combo-local linear ids [s0, s0+nv) -> original indices (oi < oj) plus the
+ * summed DP cell count.  The triangle inversion is the reference's d_find_j
+ * bijection (src/bio/kernels.cu:17-30) in closed form (sqrt + correction).
+ * Replaces ~8 NumPy passes per block that dominated flush-side host time. */
+int64_t materialize_block(const int64_t *order, const int32_t *lengths,
+                          int64_t a_start, int64_t a_count, int64_t b_start,
+                          int32_t same, int64_t s0, int64_t nv,
+                          int64_t *oi, int64_t *oj) {
+    int64_t cells = 0;
+#pragma omp parallel for schedule(static) reduction(+ : cells)
+    for (int64_t t = 0; t < nv; t++) {
+        const int64_t lin = s0 + t;
+        int64_t rk, rc;
+        if (same) {
+            int64_t j = (int64_t)((1.0 + sqrt(1.0 + 8.0 * (double)lin)) * 0.5);
+            while (j * (j - 1) / 2 > lin)
+                j--;
+            while ((j + 1) * j / 2 <= lin)
+                j++;
+            rc = j;
+            rk = lin - j * (j - 1) / 2;
+        } else {
+            rk = lin % a_count;
+            rc = lin / a_count;
+        }
+        const int64_t sk = a_start + rk, sc = b_start + rc;
+        const int64_t ok = order[sk], oc = order[sc];
+        oi[t] = ok < oc ? ok : oc;
+        oj[t] = ok < oc ? oc : ok;
+        cells += (int64_t)lengths[sk] * lengths[sc];
+    }
+    return cells;
 }
 
 /* Greedy keep-first-in-file-order filter resolution (the deterministic spec

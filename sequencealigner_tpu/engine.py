@@ -54,18 +54,6 @@ ALGOS = ("nw", "ga", "sw")
 #: with the next wave's device compute.
 FLUSH_PAIRS = int(os.environ.get("SEQALIGN_TPU_FLUSH_PAIRS", 1 << 22))
 
-#: Max score-grid bytes materialized by ONE build dispatch (stage A).
-STREAM_SEG_BYTES = int(
-    os.environ.get("SEQALIGN_TPU_SEG_BYTES", 768 << 20)
-)
-#: Max score-grid bytes enqueued-but-unexecuted before a pacing probe.
-#: Each probe is a (pipelined) host sync, expensive on high-latency links —
-#: sized so typical workloads never trigger one (v5e: 16 GB HBM, and the
-#: per-dispatch working set stays under ~2 GB).
-STREAM_INFLIGHT_BYTES = int(
-    os.environ.get("SEQALIGN_TPU_INFLIGHT_BYTES", 6 << 30)
-)
-
 # Persistent compilation cache: a CLI run is a fresh process, and the bucketed
 # pair schedule compiles one executable per (algo, Lc, Lk, B) shape — cache
 # them across invocations so only the first-ever run pays compile time.
@@ -170,7 +158,7 @@ def _stack_body(
         if use_pallas and pallas_dp.supports(Lc, Lk):
             out = pallas_dp.align_superblock(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
-                interpret=interpret,
+                interpret=interpret, inline=True,
             )
         elif (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
             # Long pairs: never materialize the O(Lc*Lk) score grid.
@@ -204,56 +192,6 @@ def _map1(body, xs):
         out = body(one)
         return jax.tree_util.tree_map(lambda a: a[None], out)
     return jax.lax.map(body, xs)
-
-# ---- two-stage Pallas dispatch ---------------------------------------------
-# The score-grid build (MXU one-hot dots + one transpose) and the Pallas DP
-# kernel run as SEPARATE dispatches: fused in one jit, XLA's layout
-# assignment around the Pallas custom call degrades the build to ~4x its
-# standalone cost (measured on v5e; see ops/pallas_dp.py module notes).  The
-# engine paces in-flight stream buffers with tiny probe fetches so queued
-# stage-A outputs cannot exhaust HBM.
-
-
-@partial(
-    jax.jit,
-    static_argnames=("Lc", "Lk", "B", "Wloc", "same", "small"),
-)
-def _build_stack(
-    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p,
-    *, Lc, Lk, B, Wloc, same, small,
-):
-    nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
-
-    def body(t0):
-        s1, s2, l1b, l2b = _gather_pairs(
-            bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
-            Wloc=Wloc, same=same, small=small,
-        )
-        sk = pallas_dp.build_stream(
-            s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
-        )
-        return sk, l1b, l2b
-
-    return _map1(body, starts)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("algo", "Lc", "Lk", "B", "int16_ok", "interpret"),
-)
-def _score_stack_prebuilt(
-    sks, l1s, l2s, gaps, *, algo, Lc, Lk, B, int16_ok, interpret=False,
-):
-    def body(args):
-        sk, l1b, l2b = args
-        out = pallas_dp.align_prebuilt(
-            sk, l1b, l2b, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
-            interpret=interpret,
-        )
-        return out.astype(jnp.int16) if int16_ok else out
-
-    return _map1(body, (sks, l1s, l2s))
-
 
 @partial(
     jax.jit,
@@ -300,62 +238,6 @@ def _sharded_scorer(
     f = shard_map(
         body, mesh=mesh,
         in_specs=(rep,) * 8,
-        out_specs=P(None, "pairs"),
-        check_vma=False,
-    )
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
-def _sharded_builder(mesh, Lc: int, Lk: int, B: int, Wloc: int,
-                     same: bool, small: bool):
-    nb, Kpad, CD, W = pallas_dp.geometry(Lc, Lk, B)
-
-    def body(bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p):
-        off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
-
-        def one(t0):
-            s1, s2, l1b, l2b = _gather_pairs(
-                bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
-                Wloc=Wloc, same=same, small=small, shard_offset=off,
-            )
-            sk = pallas_dp.build_stream(
-                s1, s2, sub_p, S=Wloc // B, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
-            )
-            return sk, l1b, l2b
-
-        return _map1(one, starts)
-
-    rep = P()
-    f = shard_map(
-        body, mesh=mesh,
-        in_specs=(rep,) * 7,
-        out_specs=(P(None, "pairs"), P(None, "pairs"), P(None, "pairs")),
-        check_vma=False,
-    )
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
-def _sharded_kernel(
-    mesh, algo: str, Lc: int, Lk: int, B: int,
-    int16_ok: bool, interpret: bool,
-):
-    def body(sks, l1s, l2s, gaps):
-        def one(args):
-            sk, l1b, l2b = args
-            out = pallas_dp.align_prebuilt(
-                sk, l1b, l2b, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
-                interpret=interpret,
-            )
-            return out.astype(jnp.int16) if int16_ok else out
-
-        return _map1(one, (sks, l1s, l2s))
-
-    sh = P(None, "pairs")
-    f = shard_map(
-        body, mesh=mesh,
-        in_specs=(sh, sh, sh, P()),
         out_specs=P(None, "pairs"),
         check_vma=False,
     )
@@ -420,8 +302,6 @@ class Engine:
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
         self._rep = NamedSharding(self.mesh, P())
-        self._inflight: list = []  # (bytes, dev) pacing queue, see _pace
-        self._inflight_mark = 0  # entries covered by the outstanding flush
         self._plock = threading.Lock()  # guards the pending list (poller)
 
     def _put_rep(self, x):
@@ -499,60 +379,22 @@ class Engine:
         """Ship one int64 start id per superblock and score per power-of-two
         segment (lax.map recompiles per stack length, so lengths are kept to
         powers of two — a bounded compile set); results stay on device until
-        flush.  On the Pallas path each segment is TWO dispatches (score-grid
-        build, then kernel — see the two-stage notes above), with segment
-        size capped so one segment's stream fits the in-flight budget."""
+        flush.  Substitution scores are generated INSIDE the Pallas kernel
+        (ops/pallas_dp.py inline mode), so each segment is a single dispatch
+        whose working set is just the code tensors — all in-jit temporaries,
+        no HBM stream pacing needed."""
         (bc, bk, lens_c, lens_k, npairs_dev, sub_dev, gaps_dev,
          Lc, Lk, B, W, same, small) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
-        bpp = pallas_dp.stream_bytes_per_pair(Lc, Lk)
-        # Two-stage dispatch only where the score grid is small per pair;
-        # long buckets go single-jit (the grid stays an in-jit temporary of
-        # the lax.map body -> one dispatch per chunk instead of hundreds).
-        pallas = (self.use_pallas and pallas_dp.supports(Lc, Lk)
-                  and bpp <= pallas_dp.TWO_STAGE_MAX_PP)
-        seg_cap = 1 << 30
-        if pallas:
-            # W is the superblock width in PAIRS; bytes = pairs x per-pair
-            sb_bytes = W * bpp
-            cap = max(1, STREAM_SEG_BYTES // max(sb_bytes, 1))
-            seg_cap = 1 << (cap.bit_length() - 1)
         off = 0
         while off < len(blks):
             seg = 1 << (len(blks) - off).bit_length() - 1
-            seg = min(seg, seg_cap)
             part = blks[off : off + seg]
             off += seg
             starts = self._put_i64([x.start for _, x in part])
             args = (bc, bk, lens_c, lens_k, starts, npairs_dev,
                     sub_dev, gaps_dev)
-            if pallas:
-                Wloc = W // self.ndev
-                if self.ndev > 1:
-                    sks, l1s, l2s = _sharded_builder(
-                        self.mesh, Lc, Lk, B, Wloc, same, small
-                    )(*args[:7])
-                    dev = _sharded_kernel(
-                        self.mesh, self.algo, Lc, Lk, B, int16_ok,
-                        self.pallas_interpret,
-                    )(sks, l1s, l2s, gaps_dev)
-                else:
-                    sks, l1s, l2s = _build_stack(
-                        *args[:7], Lc=Lc, Lk=Lk, B=B, Wloc=W, same=same,
-                        small=small,
-                    )
-                    dev = _score_stack_prebuilt(
-                        sks, l1s, l2s, gaps_dev, algo=self.algo, Lc=Lc,
-                        Lk=Lk, B=B, int16_ok=int16_ok,
-                        interpret=self.pallas_interpret,
-                    )
-                # Dropping the host reference frees the stream buffer as
-                # soon as the kernel dispatch consumes it (donation would
-                # add nothing: the output cannot reuse the int8 buffer, and
-                # XLA warns on every call).
-                del sks
-                self._pace(seg * sb_bytes, dev)
-            elif self.ndev > 1:
+            if self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
                     self.use_pallas, same, small, int16_ok,
@@ -566,20 +408,6 @@ class Engine:
                 )
             with self._plock:
                 pending.append([dev.reshape(-1), part, False])
-
-    def _pace(self, nbytes: int, dev) -> None:
-        """Bound enqueued-but-unexecuted stream buffers: device buffers are
-        allocated at ENQUEUE, so an unbounded async queue of stage-A outputs
-        could exhaust HBM.  When the estimated in-flight bytes exceed the
-        budget, fetch 4 bytes of the OLDEST queued kernel output — a cheap
-        sync point that proves every earlier segment has executed (and its
-        stream buffer been freed)."""
-        self._inflight.append((nbytes, dev))
-        total = sum(b for b, _ in self._inflight)
-        while total > STREAM_INFLIGHT_BYTES and len(self._inflight) > 1:
-            b, old = self._inflight.pop(0)
-            np.asarray(old.reshape(-1)[:1])
-            total -= b
 
     def align_all(
         self,
@@ -642,11 +470,25 @@ class Engine:
                 claimed = {id(e): not e[2] for e in batch}
                 for e in batch:
                     e[2] = True
-            fetched: dict = {}
+            cats: dict = {}
             for dt in {d.dtype for d, _, _ in batch}:
                 group = [d for d, _, _ in batch if d.dtype == dt]
                 catd = jnp.concatenate(group) if len(group) > 1 else group[0]
-                fetched[dt] = np.asarray(catd).astype(np.int32)
+                try:
+                    catd.copy_to_host_async()
+                except Exception:
+                    pass
+                cats[dt] = catd
+            # Materialize the blocks' lazy pair metadata WHILE the device
+            # finishes and the D2H copy flies — on the flusher thread this
+            # work overlaps the next wave's dispatches too.
+            for _, blks, _ in batch:
+                for _, blk in blks:
+                    blk.pairs()
+            fetched = {
+                dt: np.asarray(catd).astype(np.int32)
+                for dt, catd in cats.items()
+            }
             offs = {dt: 0 for dt in fetched}
             off = 0
             ii, jj, sc, committed = [], [], [], []
@@ -655,16 +497,16 @@ class Engine:
                 buf = fetched[dev.dtype]
                 off = offs[dev.dtype]
                 for gidx, blk in blks:
-                    n = len(blk.valid)
+                    n = blk.width
                     scores = buf[off : off + n]
                     off += n
-                    v = blk.valid
-                    ii.append(blk.orig_i[v])
-                    jj.append(blk.orig_j[v])
-                    sc.append(scores[v])
+                    oi, oj, cells = blk.pairs()
+                    ii.append(oi)
+                    jj.append(oj)
+                    sc.append(scores[: blk.n_valid])
                     committed.append(gidx)
                     stats.pairs += blk.n_valid
-                    stats.cells += blk.cells
+                    stats.cells += cells
                     if bar and claimed[id(entry)]:
                         bar.add(blk.n_valid)
                 offs[dev.dtype] = off
@@ -694,13 +536,6 @@ class Engine:
         def join_flusher():
             if flusher:
                 flusher.pop().join()
-                # The joined flush fetched scores from every dispatch queued
-                # before it started, so those segments' stage-A stream
-                # buffers are provably freed — only now may _pace's budget
-                # forget them (clearing at claim time undercounted and let
-                # new stage-A streams transiently double the HBM budget).
-                del self._inflight[: self._inflight_mark]
-                self._inflight_mark = 0
             if flush_exc:
                 raise flush_exc.pop()
 
@@ -719,7 +554,6 @@ class Engine:
             with self._plock:
                 batch = list(pending)
                 pending.clear()
-            mark = len(self._inflight)  # covered once THIS flush completes
             inflight = 0
             if merger is not None:
                 # Multi-host: the merger participates in collectives, so it
@@ -728,15 +562,12 @@ class Engine:
                 # deterministic order on every host.  Resumed journaled
                 # blocks are re-contributed here too.
                 do_flush(batch)
-                del self._inflight[:mark]
                 return
             if not batch:
                 return
             if sync:
                 do_flush(batch)
-                del self._inflight[:mark]
             else:
-                self._inflight_mark = mark
                 t = threading.Thread(target=run_flush, args=(batch,), daemon=True)
                 flusher.append(t)
                 t.start()
@@ -804,16 +635,26 @@ class Engine:
                     "Schedule.build (which splits oversized buckets)"
                 )
             small = _int32_ids_ok(npairs, a == b, sched.buckets[a].count)
-            ctx = (
+            npairs_dev = self._put_i64(npairs)
+            base_ctx = (
                 buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
-                self._put_i64(npairs), sub_dev, gaps_dev,
-                Lc, Lk, B, width, a == b, small,
+                npairs_dev, sub_dev, gaps_dev, Lc, Lk, B,
             )
+            same = a == b
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
             # scored with ONE dispatch per chunk (lax.map over the stack).
             chunk_blocks = max(1, FLUSH_PAIRS // width)
             chunk_blocks = 1 << (chunk_blocks.bit_length() - 1)
             blks: list = []
+            cur_w = width  # blocks in ``blks`` all share this width
+
+            def dispatch_group():
+                nonlocal blks
+                if blks:
+                    self._dispatch(
+                        blks, base_ctx + (cur_w, same, small), pending
+                    )
+                    blks = []
 
             def take(blk):
                 """Claim or skip one block; returns its pair count either way
@@ -824,7 +665,7 @@ class Engine:
                 if idx % nhosts != host_id:
                     if bar:
                         bar.add(blk.n_valid)  # another host's work
-                    return len(blk.valid)
+                    return blk.width
                 if journal is not None and idx in journal.done:
                     stats.pairs_resumed += blk.n_valid
                     if merger is not None and store is not None:
@@ -835,25 +676,25 @@ class Engine:
                         ))
                     if bar:
                         bar.add(blk.n_valid)
-                    return len(blk.valid)
+                    return blk.width
                 blks.append((idx, blk))
-                return len(blk.valid)
+                return blk.width
 
-            for blk in sched.blocks(a, b, width=width):
+            tail_min = B * self.ndev if B else None
+            for blk in sched.blocks(a, b, width=width, tail_min=tail_min):
+                if blk.width != cur_w:  # shrinking tail: new dispatch shape
+                    dispatch_group()
+                    cur_w = blk.width
                 inflight += take(blk)
                 scheduled += blk.n_valid
                 if limit_pairs is not None and scheduled >= limit_pairs:
                     break
                 if len(blks) >= chunk_blocks:
-                    self._dispatch(blks, ctx, pending)
-                    blks = []
+                    dispatch_group()
                 if inflight >= FLUSH_PAIRS:
-                    if blks:
-                        self._dispatch(blks, ctx, pending)
-                        blks = []
+                    dispatch_group()
                     flush()
-            if blks:
-                self._dispatch(blks, ctx, pending)
+            dispatch_group()
         if poller is not None:
             poll_stop.set()
             poller.join(timeout=2.0)

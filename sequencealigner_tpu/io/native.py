@@ -185,6 +185,9 @@ def hostops() -> ctypes.CDLL | None:
         lib.pack_rows.restype = None
         lib.pack_rows.argtypes = [u8p, i64p, i64p, i64, i64, i32p,
                                   ctypes.c_int8, i8p]
+        lib.materialize_block.restype = i64
+        lib.materialize_block.argtypes = [i64p, i32p, i64, i64, i64,
+                                          ctypes.c_int32, i64, i64, i64p, i64p]
         _hostops = lib
     except Exception:
         _hostops = None
@@ -237,6 +240,22 @@ def pack_rows(data, offsets, order, edge, lut, pad_value):
                   _ptr(lut32, ctypes.c_int32), pad_value,
                   _ptr(out, ctypes.c_int8))
     return out
+
+
+def materialize_block(order, lengths_sorted, a_start, a_count, b_start,
+                      same, s0, nv):
+    """(oi, oj, cells) for combo-local linear ids [s0, s0+nv) — the fused
+    C version of scheduler.Block's pair-metadata pass; None → numpy path."""
+    lib = hostops()
+    if lib is None:
+        return None
+    oi = np.empty(nv, dtype=np.int64)
+    oj = np.empty(nv, dtype=np.int64)
+    cells = lib.materialize_block(
+        _ptr(order, ctypes.c_int64), _ptr(lengths_sorted, ctypes.c_int32),
+        a_start, a_count, b_start, 1 if same else 0, s0, nv,
+        _ptr(oi, ctypes.c_int64), _ptr(oj, ctypes.c_int64))
+    return oi, oj, int(cells)
 
 
 def filter_resolve(sim, lost, j0, j1) -> bool:

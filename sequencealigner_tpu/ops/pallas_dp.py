@@ -79,23 +79,12 @@ CHUNK_BYTES = 2 << 20
 #: Band height (int8 sublane tile).
 KB = 32
 
-#: Per-pair budget for the materialized int8 score grid (HBM); beyond this
-#: the engine falls back to the streamed XLA path (ops/xla_dp.py).
-SK_BYTES_PER_PAIR_MAX = 24 << 20
-
-#: Per-pair stream budget for the engine's TWO-STAGE dispatch: beyond this
-#: (roughly bucket edges > ~300) the materialized-stream segments get so
-#: small that PER-DISPATCH HOST/LINK overhead dominates on this 1-core
-#: tunneled host; the single-jit stacked path wins there (measured 11.7 vs
-#: 29+ GCUPS at 512-1024 DNA).  On low-latency multicore hosts the
-#: two-stage path is faster at every size (its device rate is ~2x the
-#: fused single-jit's, whose build suffers XLA's layout assignment around
-#: the Pallas call) — raise this via SEQALIGN_TPU_TWO_STAGE_MAX_PP there.
-import os as _os
-
-TWO_STAGE_MAX_PP = int(
-    _os.environ.get("SEQALIGN_TPU_TWO_STAGE_MAX_PP", 96 << 10)
-)
+#: Longest padded column count the inline kernel accepts: the band-crossing
+#: stream lives in VMEM at (2, nprev, W+1, B) int32 ≈ 4 KiB per column
+#: (~17 MiB at 4096); longer pairs take the streamed XLA path
+#: (ops/xla_dp.py).  The reference's GPU path instead hard-caps length at
+#: 1023 (src/bio/kernels.cuh:10).
+W_MAX = 4096
 
 
 def round_up(x: int, m: int) -> int:
@@ -117,25 +106,21 @@ def geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int, int]:
     return nb, Kpad, CD, round_up(Lc, CD)
 
 
-def pick_S(B: int, Kpad: int, W: int, target_bytes: int = 256 << 20) -> int:
-    """Superblock height: bound the materialized score grid in HBM (long
-    buckets instead take the single-jit stacked path, engine.TWO_STAGE_MAX_PP,
-    which keeps the grid an in-jit temporary)."""
-    s = target_bytes // (B * Kpad * W)
-    return max(1, min(256, int(s)))
-
-
-def stream_bytes_per_pair(Lc: int, Lk: int) -> int:
-    nb, Kpad, CD, W = geometry(Lc, Lk, LANE)
-    return Kpad * W
+def pick_S(B: int, Kpad: int, W: int, target_cells: int = 1 << 31) -> int:
+    """Superblock height: with in-kernel scoring nothing scales with S but
+    the code tensors (~4(W+Kpad) bytes/pair), so size dispatches by PADDED
+    CELLS — ~2^31 is ~20 ms of device time at the kernel's ~100 Gcell/s,
+    large enough to amortize per-dispatch host/link overhead, small enough
+    for flush pacing and progress."""
+    s = target_cells // (B * Kpad * W)
+    return max(1, min(2048, int(s)))
 
 
 def supports(Lc: int, Lk: int) -> bool:
-    """Whether the Pallas kernel can run this bucket combo: the score grid is
-    materialized per superblock, so per-pair bytes must stay bounded.  (The
-    reference's GPU path instead hard-caps length at 1023,
-    src/bio/kernels.cuh:10; here long pairs just take the streamed path.)"""
-    return stream_bytes_per_pair(Lc, Lk) <= SK_BYTES_PER_PAIR_MAX
+    """Whether the inline Pallas kernel can run this bucket combo (see
+    W_MAX; Lk <= Lc by the engine's combo ordering)."""
+    nb, Kpad, CD, W = geometry(Lc, Lk, LANE)
+    return W <= W_MAX
 
 
 def build_stream(
@@ -178,25 +163,66 @@ def padded_submatrix_i8(sub_p) -> jnp.ndarray:
     return subm.at[:24, :24].set(jnp.asarray(sub_p)[:24, :24].astype(jnp.int8))
 
 
-def build_inline(s1, s2, sub_p, *, S: int, B: int, Lc: int, Lk: int,
-                 Kpad: int, W: int):
-    """Inline-mode kernel inputs — NO per-pair score grid, just:
+#: Packed-profile rows: 4 alphabet slots byte-packed per int32, 8 rows cover
+#: all ALPHA = 32 slots.  An (8, 128) int32 block is exactly one vreg — the
+#: largest window v5e's dynamic_gather can index (no byte gather on this
+#: generation; 32-bit gathers cannot span sublane vregs).
+PACK8 = 8
 
-    c1:   (S, W, B)        int32  s1 codes, pair-minor (PAD beyond l1)
-    prof: (S, ALPHA, Kpad, B) int8 per-pair profiles, prof[s, a, k, b] =
-          sub[s2[n, k], a] (n = s*B + b) — a plain row-gather of the padded
-          submatrix followed by the pair-minor transpose; the per-pair MXU
-          contraction of build_stream (74% of device time at short shapes,
-          BASELINE.md r2) is gone entirely.  The kernel contracts the
-          profile against s1 codes in VMEM (_make_kernel inline=True).
-    """
-    subm = padded_submatrix_i8(sub_p)
-    s1p = jnp.pad(s1, ((0, 0), (0, W - Lc)), constant_values=PAD)
-    s2p = jnp.pad(s2, ((0, 0), (0, Kpad - Lk)), constant_values=PAD)
-    prof2 = jnp.take(subm, s2p, axis=0)  # (n, Kpad, ALPHA) int8
-    prof = prof2.reshape(S, B, Kpad, ALPHA).transpose(0, 3, 2, 1)
-    c1 = s1p.reshape(S, B, W).transpose(0, 2, 1).astype(jnp.int32)
-    return c1, prof
+
+def packed_lane_table(sub_p) -> jnp.ndarray:
+    """(PACK8, LANE) int32 byte-packed padded submatrix with the ALPHABET on
+    lanes: byte j of out[r, a] = sub[a, r + 8*j] (PAD_MARK outside the real
+    24x24 frame; lanes beyond ALPHA hold packed PAD_MARK).  The whole
+    substitution matrix in 4 KiB of VMEM — the TPU analogue of the
+    reference's __constant__ LUTs (src/bio/kernels.cuh:20-24)."""
+    subm = padded_submatrix_i8(sub_p).astype(jnp.int32) & 0xFF
+    k = subm.reshape(ALPHA, 4, PACK8)
+    packed = k[:, 0] | (k[:, 1] << 8) | (k[:, 2] << 16) | (k[:, 3] << 24)
+    pad_val = jnp.int32(-0x7F7F7F80)  # 0x80808080: PAD_MARK in every byte
+    out = jnp.full((PACK8, LANE), pad_val, jnp.int32)
+    return out.at[:, :ALPHA].set(packed.T)
+
+
+def build_inline(s1, s2, *, S: int, B: int, Lc: int, Lk: int,
+                 Kpad: int, W: int, CD: int):
+    """Inline-mode kernel inputs — NO per-pair score data at all, just the
+    pair-minor code tensors:
+
+    c1: (S, W, B) int32 s1 codes (PAD beyond l1)
+    c2: (S, Kpad, B) int32 s2 codes (PAD beyond l2)
+
+    The kernel builds each column's (KB, B) score block itself from the
+    VMEM-resident packed_lane_table: one per-lane LANE-axis gather by the s1
+    code yields the column's byte-packed alphabet profile (PACK8, B), then
+    four single-vreg sublane gathers by the s2 codes + a variable-shift byte
+    extract select the scores — the Pallas analogue of the reference's
+    in-loop constant-LUT reads (src/bio/kernels.cu:49-66), using the
+    matrices' symmetry (sub[a][b] == sub[b][a], SURVEY.md §2.1).  The MXU
+    score-grid build of build_stream (74% of device time at short shapes,
+    BASELINE.md r2) is gone entirely, and HBM streams only ~1 byte per
+    column per pair.
+
+    Codes ride BYTE-PACKED four-per-int32 so the pair-minor transposes — the
+    only remaining XLA layout work — move 4x less data.  The packing is
+    STRIDED within each kernel window (byte k of word r = column r + k*CD/4
+    of the chunk; s2 likewise per KB-band): the kernel then unpacks a whole
+    window with four shift-ands and one plain concatenation (no sublane
+    interleave), once per grid step."""
+    i8 = jnp.int8
+    n = S * B
+    s1p = jnp.pad(s1.astype(i8), ((0, 0), (0, W - Lc)), constant_values=PAD)
+    s2p = jnp.pad(s2.astype(i8), ((0, 0), (0, Kpad - Lk)), constant_values=PAD)
+    w1 = jax.lax.bitcast_convert_type(
+        s1p.reshape(n, W // CD, 4, CD // 4).transpose(0, 1, 3, 2), jnp.int32
+    )  # (n, W//CD, CD//4)
+    w2 = jax.lax.bitcast_convert_type(
+        s2p.reshape(n, Kpad // KB, 4, KB // 4).transpose(0, 1, 3, 2),
+        jnp.int32,
+    )  # (n, Kpad//KB, KB//4)
+    c1 = w1.reshape(S, B, W // 4).transpose(0, 2, 1)
+    c2 = w2.reshape(S, B, Kpad // 4).transpose(0, 2, 1)
+    return c1, c2
 
 
 def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
@@ -206,7 +232,8 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
 
     def kernel(gaps_ref, *refs):
         if inline:
-            c1_ref, prof_ref, l1_ref, l2_ref, out_ref, state, prev = refs
+            (tab_ref, c1_ref, c2_ref, l1_ref, l2_ref, out_ref, state, prev,
+             cbuf) = refs
         else:
             sk_ref, l1_ref, l2_ref, out_ref, state, prev = refs
         band = pl.program_id(1)
@@ -278,24 +305,65 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
 
         if inline:
             # In-kernel substitution scoring (the reference's in-loop LUT
-            # reads, src/bio/kernels.cu:49-66): select this chunk's scores
-            # from the VMEM-resident per-pair profile with a 25-way
-            # where-chain over the alphabet — the whole (CD, KB, B) slab at
-            # once so the selects run as large fused VPU ops.  No HBM score
-            # grid exists in this mode.
-            c1c = c1_ref[0]  # (CD, B) int32 s1 codes for this chunk
-            sd_all = jnp.broadcast_to(
-                prof_ref[0, PAD][None], (CD, KB, shape[1])
-            )  # PAD slot covers pad columns and any unmatched code
-            for a in range(PAD - 1, -1, -1):
-                sd_all = jnp.where(
-                    (c1c == a)[:, None, :], prof_ref[0, a][None], sd_all
-                )
+            # reads, src/bio/kernels.cu:49-66), from raw codes: one LANE-axis
+            # per-lane gather by the column's s1 code pulls the byte-packed
+            # alphabet profile (PACK8, B) out of the VMEM-resident table,
+            # then four single-vreg (PACK8, B) sublane gathers indexed by the
+            # band's s2 codes + a variable-shift byte extract yield the
+            # (KB, B) scores — ~4 VPU ops per cell (a 25-way select chain
+            # measured 3.4x the grid-mode kernel time; v5e has no byte gather
+            # and 32-bit gathers cannot span sublane vregs, hence the
+            # packing).  No score data touches HBM in this mode.
+            assert KB % PACK8 == 0
+            NS = KB // PACK8
+            table = tab_ref[...]  # (PACK8, LANE) packed submatrix
+            # Unpack the band's byte-packed s2 codes (strided pack: byte k
+            # of word r = band row r + k*KB/4, so a plain concat restores
+            # row order).
+            words2 = c2_ref[0]  # (KB // 4, B) int32
+            c2codes = jnp.concatenate(
+                [(words2 >> (8 * k)) & 0xFF for k in range(4)], axis=0
+            )
+            # Unpack this chunk's s1 codes into VMEM once (same strided
+            # scheme over CD columns); per-column reads then stay one cheap
+            # (1, B) slice.
+            words1 = c1_ref[0]  # (CD // 4, B) int32
+            cbuf[...] = jnp.concatenate(
+                [(words1 >> (8 * k)) & 0xFF for k in range(4)], axis=0
+            )
+            idx = c2codes & 7
+            # Byte extract as (g << (24 - 8*(code>>3))) >> 24: arithmetic
+            # final shift sign-extends the int8 score.
+            lshift = 24 - ((c2codes >> 3) << 3)
+            idx_s = [idx[r * PACK8:(r + 1) * PACK8] for r in range(NS)]
+            lsh_s = [lshift[r * PACK8:(r + 1) * PACK8] for r in range(NS)]
+
+            gd_sub = jax.lax.GatherDimensionNumbers(
+                offset_dims=(), collapsed_slice_dims=(0,),
+                start_index_map=(0,), operand_batching_dims=(1,),
+                start_indices_batching_dims=(1,),
+            )
+            gd_lane = jax.lax.GatherDimensionNumbers(
+                offset_dims=(), collapsed_slice_dims=(1,),
+                start_index_map=(1,), operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            inb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
             def get_sd(i):
-                return jax.lax.dynamic_index_in_dim(
-                    sd_all, i, 0, keepdims=False
-                ).astype(jnp.int32)
+                code_row = cbuf[pl.ds(i, 1)]  # (1, B) s1 code of column i
+                idx1 = jnp.broadcast_to(code_row, (PACK8, shape[1]))
+                g8 = jax.lax.gather(
+                    table, idx1[..., None], gd_lane, (1, 1), mode=inb
+                )
+                parts = []
+                for r in range(NS):
+                    g = jax.lax.gather(
+                        g8, idx_s[r][..., None], gd_sub, (1, 1), mode=inb
+                    )
+                    parts.append(jax.lax.shift_right_arithmetic(
+                        jax.lax.shift_left(g, lsh_s[r]), jnp.int32(24)))
+                return jnp.concatenate(parts, axis=0)
         else:
 
             def get_sd(i):
@@ -420,17 +488,19 @@ def align_prebuilt(
 
 
 def align_prebuilt_inline(
-    c1, prof, l1, l2, gaps, *, algo: str, Lc: int, Lk: int, B: int,
+    c1, c2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, B: int,
     interpret: bool = False
 ):
-    """Run the column-sweep kernel with in-kernel scoring: c1/prof from
+    """Run the column-sweep kernel with in-kernel scoring: c1/c2 from
     build_inline; substitution scores never touch HBM."""
-    S = prof.shape[0]
+    S = c1.shape[0]
     n = S * B
+    assert B == LANE  # the in-kernel lane gather spans exactly one vreg
     nb, Kpad, CD, W = geometry(Lc, Lk, B)
     l1b = l1.reshape(S, 1, B).astype(jnp.int32)
     l2b = l2.reshape(S, 1, B).astype(jnp.int32)
     gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
+    table = packed_lane_table(sub_p)
 
     grid = (S, nb, W // CD)
     nprev = 1 if algo == "nw" else 2
@@ -439,10 +509,12 @@ def align_prebuilt_inline(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps (1, 3)
-            pl.BlockSpec((1, CD, B), lambda s, b, c: (s, c, 0),
-                         memory_space=pltpu.VMEM),  # c1 codes
-            pl.BlockSpec((1, ALPHA, KB, B), lambda s, b, c: (s, 0, b, 0),
-                         memory_space=pltpu.VMEM),  # profile (band slice)
+            pl.BlockSpec((PACK8, LANE), lambda s, b, c: (0, 0),
+                         memory_space=pltpu.VMEM),  # packed submatrix
+            pl.BlockSpec((1, CD // 4, B), lambda s, b, c: (s, c, 0),
+                         memory_space=pltpu.VMEM),  # s1 code words (chunk)
+            pl.BlockSpec((1, KB // 4, B), lambda s, b, c: (s, b, 0),
+                         memory_space=pltpu.VMEM),  # s2 code words (band)
             pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
@@ -454,13 +526,14 @@ def align_prebuilt_inline(
         scratch_shapes=[
             pltpu.VMEM((3, KB, B), jnp.int32),  # H / X / acc carry handoff
             pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
+            pltpu.VMEM((CD, B), jnp.int32),  # unpacked s1 codes (chunk)
         ],
         cost_estimate=pl.CostEstimate(
-            flops=45 * S * B * Kpad * W, transcendentals=0,
-            bytes_accessed=S * B * (Kpad * ALPHA + 4 * W),
+            flops=25 * S * B * Kpad * W, transcendentals=0,
+            bytes_accessed=S * B * (W + Kpad),
         ),
         interpret=interpret,
-    )(gaps2, c1, prof, l1b, l2b)
+    )(gaps2, table, c1, c2, l1b, l2b)
     return out.reshape(n)
 
 
@@ -489,11 +562,11 @@ def align_superblock(
     S = n // B
     nb, Kpad, CD, W = geometry(Lc, Lk, B)
     if inline:
-        c1, prof = build_inline(
-            s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W
+        c1, c2 = build_inline(
+            s1, s2, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W, CD=CD
         )
         return align_prebuilt_inline(
-            c1, prof, l1, l2, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+            c1, c2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
             interpret=interpret,
         )
     sk = build_stream(s1, s2, sub_p, S=S, B=B, Lc=Lc, Lk=Lk, Kpad=Kpad, W=W)

@@ -99,26 +99,103 @@ class Bucket:
 
 @dataclasses.dataclass
 class Block:
-    """One kernel invocation's worth of pairs (padded to width B)."""
+    """One kernel invocation's worth of pairs (padded to width B).
+
+    LAZY: only arithmetic identity (combo, start, width, n_valid) is carried;
+    the per-pair arrays (original indices, lengths, validity) are materialized
+    on first access — the engine ships just ``start`` to the device and needs
+    the arrays only at flush time, on the background flusher thread, so the
+    dispatch path never pays per-pair numpy work (~70 ms of a ~160 ms 1k-seq
+    run before this)."""
 
     Lc: int
     Lk: int
     start: int  # first combo-local linear pair id of this block
     bucket_c: int  # bucket index of the column (longer) sequences
     bucket_k: int
-    orig_i: np.ndarray  # (B,) int64 original indices, i < j
-    orig_j: np.ndarray
-    l1: np.ndarray  # (B,) int32 true lengths (columns)
-    l2: np.ndarray
-    valid: np.ndarray  # (B,) bool; padding entries are False
+    width: int  # padded pair count B
+    n_valid: int  # real pairs (the rest are padding)
+    sched: "Schedule" = dataclasses.field(repr=False)
+    _arr: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _pairs: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def arrays(self) -> tuple:
+        """(orig_i, orig_j, l1, l2, valid), materialized once."""
+        if self._arr is None:
+            sch = self.sched
+            ba = sch.buckets[self.bucket_k]
+            bb = sch.buckets[self.bucket_c]
+            valid = np.arange(self.width) < self.n_valid
+            lin = np.arange(self.start, self.start + self.width,
+                            dtype=np.int64)
+            lin = np.where(valid, lin, 0)  # pad -> dummy pair (0, 0)
+            if self.bucket_k == self.bucket_c:
+                rk, rc = linear_to_pair(lin)  # local triangle coords
+            else:
+                rk = lin % ba.count
+                rc = lin // ba.count
+            sk = ba.start + rk  # sorted-order indices
+            sc = bb.start + rc
+            ok = sch.order[sk]
+            oc = sch.order[sc]
+            oi = np.minimum(ok, oc).astype(np.int64)
+            oj = np.maximum(ok, oc).astype(np.int64)
+            l1 = sch.lengths_sorted[sc].astype(np.int32)
+            l2 = sch.lengths_sorted[sk].astype(np.int32)
+            self._arr = (oi, oj, l1, l2, valid)
+        return self._arr
 
     @property
-    def n_valid(self) -> int:
-        return int(self.valid.sum())
+    def orig_i(self) -> np.ndarray:
+        return self.arrays()[0]
+
+    @property
+    def orig_j(self) -> np.ndarray:
+        return self.arrays()[1]
+
+    @property
+    def l1(self) -> np.ndarray:
+        return self.arrays()[2]
+
+    @property
+    def l2(self) -> np.ndarray:
+        return self.arrays()[3]
+
+    @property
+    def valid(self) -> np.ndarray:
+        return self.arrays()[4]
 
     @property
     def cells(self) -> int:
-        return int((self.l1.astype(np.int64) * self.l2)[self.valid].sum())
+        _, _, l1, l2, valid = self.arrays()
+        return int((l1.astype(np.int64) * l2)[valid].sum())
+
+    def pairs(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """(orig_i, orig_j, cells) over the VALID pairs only — the flush-side
+        form, via the fused C pass (io/native.py materialize_block) when
+        available."""
+        if self._pairs is None:
+            r = None
+            if self._arr is None:
+                from .io import native
+
+                sch = self.sched
+                ba = sch.buckets[self.bucket_k]
+                bb = sch.buckets[self.bucket_c]
+                r = native.materialize_block(
+                    sch.order, sch.lengths_sorted, ba.start, ba.count,
+                    bb.start, self.bucket_k == self.bucket_c,
+                    self.start, self.n_valid,
+                )
+            if r is None:
+                oi, oj, _, _, valid = self.arrays()
+                r = (oi[valid], oj[valid], self.cells)
+            self._pairs = r
+        return self._pairs
 
 
 @dataclasses.dataclass
@@ -185,57 +262,35 @@ class Schedule:
         return int((s1 * s1 - s2) // 2)
 
     def blocks(
-        self, a: int, b: int, width: int | None = None, target_cells: int = TARGET_CELLS
+        self, a: int, b: int, width: int | None = None,
+        target_cells: int = TARGET_CELLS, tail_min: int | None = None,
     ) -> Iterator[Block]:
         """Lazy blocks for combo (a <= b).  Pairs are (i_sorted from bucket a,
-        j_sorted from bucket b); within-bucket (a == b) uses the triangle."""
+        j_sorted from bucket b); within-bucket (a == b) uses the triangle.
+
+        tail_min: when set, the tail of the combo is covered by SHRINKING
+        power-of-two-multiple-of-tail_min widths instead of one full-width
+        padded block (a 262k-wide superblock over a 66k tail wastes 75% of
+        its padded cells otherwise); widths stay in the pow2 compile set."""
         ba, bb = self.buckets[a], self.buckets[b]
         Lk, Lc = ba.edge, bb.edge
         B = width or block_width(Lc, Lk, target_cells)
         npairs = self.combo_pair_count(a, b)
-
-        # Metadata is computed in STRIPES of many blocks at once and the
-        # per-block Block carries views into the stripe arrays: per-block
-        # numpy work (~15 array ops each) measured as the dominant host cost
-        # at short lengths (~70 ms of a ~160 ms 1k-seq run), so it is hoisted
-        # into one vectorized computation per ~64 blocks.
-        STRIPE_BLOCKS = 64
-        stripe = STRIPE_BLOCKS * B
-        for s0 in range(0, npairs, stripe):
-            s_take = min(stripe, npairs - s0)
-            nblk = -(-s_take // B)
-            padded = nblk * B
-            lin = np.arange(s0, s0 + s_take, dtype=np.int64)
-            if a == b:
-                rk, rc = linear_to_pair(lin)  # local triangle coords
-            else:
-                rk = lin % ba.count  # local row in bucket a
-                rc = lin // ba.count  # local row in bucket b
-            pad = padded - s_take
-            if pad:  # pad to whole blocks with dummy pair (0, 0) of the combo
-                rk = np.concatenate([rk, np.zeros(pad, np.int64)])
-                rc = np.concatenate([rc, np.zeros(pad, np.int64)])
-            valid = np.arange(padded) < s_take
-
-            sk = ba.start + rk  # sorted-order indices
-            sc = bb.start + rc
-            ok = self.order[sk]
-            oc = self.order[sc]
-            oi = np.minimum(ok, oc).astype(np.int64)
-            oj = np.maximum(ok, oc).astype(np.int64)
-            l1 = self.lengths_sorted[sc].astype(np.int32)
-            l2 = self.lengths_sorted[sk].astype(np.int32)
-            for k in range(nblk):
-                lo, hi = k * B, (k + 1) * B
-                yield Block(
-                    Lc=Lc,
-                    Lk=Lk,
-                    start=s0 + lo,
-                    bucket_c=b,
-                    bucket_k=a,
-                    orig_i=oi[lo:hi],
-                    orig_j=oj[lo:hi],
-                    l1=l1[lo:hi],
-                    l2=l2[lo:hi],
-                    valid=valid[lo:hi],
-                )
+        s0 = 0
+        w = B
+        while s0 < npairs:
+            need = npairs - s0
+            if tail_min and need < w:
+                units = -(-need // tail_min)
+                w = min(w, tail_min << max(0, (units - 1).bit_length()))
+            yield Block(
+                Lc=Lc,
+                Lk=Lk,
+                start=s0,
+                bucket_c=b,
+                bucket_k=a,
+                width=w,
+                n_valid=min(w, need),
+                sched=self,
+            )
+            s0 += w
