@@ -102,20 +102,20 @@ def _int32_ids_ok(npairs: int, same: bool, rows: int) -> bool:
     return npairs < (1 << 31) and (not same or rows <= 46340)
 
 
-def _gather_pairs(
-    bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
-    *, Wloc, same, small, shard_offset=None,
+def _pair_rows(
+    lens_k, t0, npairs, *, Wloc, same, small, shard_offset=None,
 ):
-    """Pair indices derived ON DEVICE from a superblock's first linear id —
-    the host ships 8 bytes per superblock instead of 16 bytes per pair.
-    Within-bucket combos invert the triangle in CLOSED FORM (the vectorized
-    d_find_j, reference src/bio/kernels.cu:17-30): float32 sqrt + two integer
-    corrections — ~30x faster on TPU than a searchsorted over a triangle
-    table, and int64 arithmetic (emulated on TPU) is avoided entirely when
-    the combo's pair count fits int32 (``small``, a static flag).  The f32
-    sqrt plus two corrections is exact for bucket counts up to ~16M rows.
-    ``shard_offset`` (set under shard_map) positions this device's Wloc-wide
-    slice."""
+    """Per-pair combo-local row indices (rc, rk) derived ON DEVICE from a
+    superblock's first linear id — the host ships 8 bytes per superblock
+    instead of 16 bytes per pair.  Within-bucket combos invert the triangle
+    in CLOSED FORM (the vectorized d_find_j, reference
+    src/bio/kernels.cu:17-30): float32 sqrt + two integer corrections —
+    ~30x faster on TPU than a searchsorted over a triangle table, and int64
+    arithmetic (emulated on TPU) is avoided entirely when the combo's pair
+    count fits int32 (``small``, a static flag).  The f32 sqrt plus two
+    corrections is exact for bucket counts up to ~16M rows.
+    ``shard_offset`` (set under shard_map) positions this device's
+    Wloc-wide slice."""
     lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
     if shard_offset is not None:
         lin = lin + shard_offset
@@ -134,6 +134,20 @@ def _gather_pairs(
         ca = lens_k.shape[0]  # static -> constant-divisor division
         rk = (lin % ca).astype(jnp.int32)
         rc = (lin // ca).astype(jnp.int32)
+    return rc, rk
+
+
+def _gather_pairs(
+    bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
+    *, Wloc, same, small, shard_offset=None,
+):
+    """Gathered per-pair code rows + lengths for one superblock (XLA DP
+    path; the Pallas path gathers pre-packed words instead — see
+    _stack_body)."""
+    rc, rk = _pair_rows(
+        lens_k, t0, npairs, Wloc=Wloc, same=same, small=small,
+        shard_offset=shard_offset,
+    )
     s1 = bucket_c[rc].astype(jnp.int32)
     s2 = bucket_k[rk].astype(jnp.int32)
     return s1, s2, lens_c[rc], lens_k[rk]
@@ -151,16 +165,28 @@ def _stack_body(
     the 'loop' is compiled in)."""
 
     def body(t0):
+        if use_pallas and pallas_dp.supports(Lc, Lk):
+            # bucket_c/bucket_k are the buckets' PRE-PACKED code words
+            # (pallas_dp.pack_bucket_words, chosen by the engine's combo
+            # loop): the per-dispatch device work is just a row gather, a
+            # pair-to-minor transpose, and the kernel.
+            rc, rk = _pair_rows(
+                lens_k, t0, npairs, Wloc=Wloc, same=same, small=small,
+                shard_offset=shard_offset,
+            )
+            return_out = pallas_dp.align_packed(
+                bucket_c[rc], bucket_k[rk], lens_c[rc], lens_k[rk],
+                sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+                interpret=interpret,
+            )
+            if int16_ok:
+                return_out = return_out.astype(jnp.int16)
+            return return_out
         s1, s2, l1b, l2b = _gather_pairs(
             bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
             Wloc=Wloc, same=same, small=small, shard_offset=shard_offset,
         )
-        if use_pallas and pallas_dp.supports(Lc, Lk):
-            out = pallas_dp.align_superblock(
-                s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
-                interpret=interpret, inline=True,
-            )
-        elif (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
+        if (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
             # Long pairs: never materialize the O(Lc*Lk) score grid.
             out = align_block_streamed(
                 s1, s2, l1b, l2b, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk
@@ -322,11 +348,13 @@ class Engine:
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
         """Per-bucket device-resident data: int8 LUT-index matrices
-        (pad = PAD) and true lengths."""
+        (pad = PAD), true lengths, and — for buckets the inline Pallas
+        kernel can serve — the pre-packed code-word forms (c-side, k-side)
+        of pallas_dp.pack_bucket_words."""
         from .io import native
 
         lut = ss.lut
-        arrays, lens = [], []
+        arrays, lens, packs = [], [], []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
             mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
@@ -341,7 +369,15 @@ class Engine:
                     sched.lengths_sorted[b.start : b.end].astype(np.int32)
                 )
             )
-        return arrays, lens
+            pk = (
+                pallas_dp.pack_bucket_words(mat, b.edge)
+                if self.use_pallas else None
+            )
+            packs.append(
+                (self._put_rep(pk[0]), self._put_rep(pk[1]))
+                if pk is not None else None
+            )
+        return arrays, lens, packs
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
@@ -407,7 +443,19 @@ class Engine:
                     int16_ok=int16_ok, interpret=self.pallas_interpret,
                 )
             with self._plock:
-                pending.append([dev.reshape(-1), part, False])
+                flat = dev.reshape(-1)
+                try:
+                    # Start the D2H copy the moment this dispatch's compute
+                    # finishes on device (the runtime queues it behind the
+                    # producer): score transfer overlaps later superblocks'
+                    # compute, and the flush-side wait only pays for the
+                    # LAST group's copy — the TPU-native analogue of the
+                    # reference's copy/compute stream overlap
+                    # (src/interface/seqalign_cuda.c:267-273).
+                    flat.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append([flat, part, False])
 
     def align_all(
         self,
@@ -435,13 +483,22 @@ class Engine:
           skipped on resume and committed after each flush.
         """
         host_id, nhosts = partition if partition else (0, 1)
+        phase_dbg = os.environ.get("SEQALIGN_TPU_DEBUG_PHASES")
+        phases: dict = {}
+
+        def mark(name, t_start):
+            if phase_dbg:
+                phases[name] = phases.get(name, 0.0) + (
+                    time.perf_counter() - t_start
+                )
+
         sched = Schedule.build(ss.lengths)
         total_pairs = sched.total_pairs()
         ui.pinfo("Performing %d pairwise alignments", total_pairs)
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        buckets_dev, lens_dev = self._bucket_arrays(ss, sched)
+        buckets_dev, lens_dev, packs_dev = self._bucket_arrays(ss, sched)
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
 
@@ -470,32 +527,24 @@ class Engine:
                 claimed = {id(e): not e[2] for e in batch}
                 for e in batch:
                     e[2] = True
-            cats: dict = {}
-            for dt in {d.dtype for d, _, _ in batch}:
-                group = [d for d, _, _ in batch if d.dtype == dt]
-                catd = jnp.concatenate(group) if len(group) > 1 else group[0]
-                try:
-                    catd.copy_to_host_async()
-                except Exception:
-                    pass
-                cats[dt] = catd
             # Materialize the blocks' lazy pair metadata WHILE the device
-            # finishes and the D2H copy flies — on the flusher thread this
-            # work overlaps the next wave's dispatches too.
+            # finishes and the per-dispatch D2H copies (started at enqueue,
+            # see _dispatch) fly — on the flusher thread this work overlaps
+            # the next wave's dispatches too.
+            tc = time.perf_counter()
             for _, blks, _ in batch:
                 for _, blk in blks:
                     blk.pairs()
-            fetched = {
-                dt: np.asarray(catd).astype(np.int32)
-                for dt, catd in cats.items()
-            }
-            offs = {dt: 0 for dt in fetched}
-            off = 0
+            mark("flush.materialize", tc)
+            # Fetch per dispatch group, in enqueue order: group k's wait
+            # overlaps groups k+1..n's still-flying copies, so the total
+            # wait is bounded by the LAST group's completion, not the sum.
+            tc = time.perf_counter()
             ii, jj, sc, committed = [], [], [], []
             for entry in batch:
                 dev, blks, _ = entry
-                buf = fetched[dev.dtype]
-                off = offs[dev.dtype]
+                buf = np.asarray(dev)
+                off = 0
                 for gidx, blk in blks:
                     n = blk.width
                     scores = buf[off : off + n]
@@ -503,13 +552,13 @@ class Engine:
                     oi, oj, cells = blk.pairs()
                     ii.append(oi)
                     jj.append(oj)
-                    sc.append(scores[: blk.n_valid])
+                    sc.append(scores[: blk.n_valid].astype(np.int32))
                     committed.append(gidx)
                     stats.pairs += blk.n_valid
                     stats.cells += cells
                     if bar and claimed[id(entry)]:
                         bar.add(blk.n_valid)
-                offs[dev.dtype] = off
+            mark("flush.fetch_wait", tc)
             cat = lambda xs, dt: (
                 np.concatenate(xs) if xs else np.zeros(0, dt)
             )
@@ -636,8 +685,16 @@ class Engine:
                 )
             small = _int32_ids_ok(npairs, a == b, sched.buckets[a].count)
             npairs_dev = self._put_i64(npairs)
+            if (self.use_pallas and pallas_dp.supports(Lc, Lk)
+                    and packs_dev[b] is not None and packs_dev[a] is not None):
+                # Inline Pallas combo: ship the pre-packed word forms
+                # (c-side of bucket b, k-side of bucket a) instead of the
+                # raw code matrices — see _stack_body.
+                arr_c, arr_k = packs_dev[b][0], packs_dev[a][1]
+            else:
+                arr_c, arr_k = buckets_dev[b], buckets_dev[a]
             base_ctx = (
-                buckets_dev[b], buckets_dev[a], lens_dev[b], lens_dev[a],
+                arr_c, arr_k, lens_dev[b], lens_dev[a],
                 npairs_dev, sub_dev, gaps_dev, Lc, Lk, B,
             )
             same = a == b
@@ -695,12 +752,20 @@ class Engine:
                     dispatch_group()
                     flush()
             dispatch_group()
+        mark("schedule+dispatch", t0)
         if poller is not None:
             poll_stop.set()
             poller.join(timeout=2.0)
+        tf = time.perf_counter()
         flush(sync=True)
         join_flusher()  # nothing outstanding after a sync flush; belt-and-braces
+        mark("final_flush", tf)
         if bar:
             bar.end()
         stats.seconds = time.perf_counter() - t0
+        if phase_dbg:
+            parts = "  ".join(
+                f"{k}={v * 1e3:.1f}ms" for k, v in phases.items()
+            )
+            print(f"[phases] wall={stats.seconds * 1e3:.1f}ms  {parts}")
         return stats

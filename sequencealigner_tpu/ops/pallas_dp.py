@@ -220,9 +220,58 @@ def build_inline(s1, s2, *, S: int, B: int, Lc: int, Lk: int,
         s2p.reshape(n, Kpad // KB, 4, KB // 4).transpose(0, 1, 3, 2),
         jnp.int32,
     )  # (n, Kpad//KB, KB//4)
-    c1 = w1.reshape(S, B, W // 4).transpose(0, 2, 1)
-    c2 = w2.reshape(S, B, Kpad // 4).transpose(0, 2, 1)
+    c1 = w1.reshape(S, B, W // 4)
+    c2 = w2.reshape(S, B, Kpad // 4)
     return c1, c2
+
+
+def pack_bucket_words(mat: np.ndarray, edge: int):
+    """Host-side strided packing of one bucket's (count, edge) int8 code
+    matrix into the kernel's two word layouts, done ONCE per bucket at
+    upload time (the per-dispatch pad + byte-group transpose + bitcast of
+    build_inline — ~1/3 of device busy at short shapes — becomes a plain
+    row gather):
+
+      c-form (count, W//4) int32 — CD-window strided words for the column
+        (s1) side; k-form (count, Kpad//4) int32 — KB-band strided words for
+        the row (s2) side.  Byte k of word (window j, slot r) holds code
+        ``j*win + k*win//4 + r`` (PAD beyond the true length), matching
+        build_inline exactly.
+
+    Returns (c_form, k_form), or None when the bucket is too long for the
+    inline kernel (W > W_MAX; the engine's XLA path needs no packing)."""
+    nb, Kpad, CD, W = geometry(edge, edge, LANE)
+    if W > W_MAX:
+        return None
+    count = mat.shape[0]
+
+    def strided(width: int, win: int) -> np.ndarray:
+        m = np.full((count, width), PAD, np.int8)
+        m[:, :edge] = mat[:, :edge]
+        w = np.ascontiguousarray(
+            m.reshape(count, width // win, 4, win // 4).transpose(0, 1, 3, 2)
+        )
+        return w.view(np.int32).reshape(count, width // 4)
+
+    return strided(W, CD), strided(Kpad, KB)
+
+
+def align_packed(
+    c1w, c2w, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, B: int,
+    interpret: bool = False
+):
+    """Inline-scoring kernel on PRE-PACKED code words (pack_bucket_words
+    rows gathered per pair): zero XLA-side layout work — the pair-to-minor
+    transpose happens inside the kernel (see _make_kernel inline notes)."""
+    n = c1w.shape[0]
+    S = n // B
+    nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    c1 = c1w[:, : W // 4].reshape(S, B, W // 4)
+    c2 = c2w[:, : Kpad // 4].reshape(S, B, Kpad // 4)
+    return align_prebuilt_inline(
+        c1, c2, l1, l2, sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B,
+        interpret=interpret,
+    )
 
 
 def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
@@ -233,7 +282,7 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
     def kernel(gaps_ref, *refs):
         if inline:
             (tab_ref, c1_ref, c2_ref, l1_ref, l2_ref, out_ref, state, prev,
-             cbuf) = refs
+             cbuf, kbuf) = refs
         else:
             sk_ref, l1_ref, l2_ref, out_ref, state, prev = refs
         band = pl.program_id(1)
@@ -317,20 +366,34 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
             assert KB % PACK8 == 0
             NS = KB // PACK8
             table = tab_ref[...]  # (PACK8, LANE) packed submatrix
-            # Unpack the band's byte-packed s2 codes (strided pack: byte k
-            # of word r = band row r + k*KB/4, so a plain concat restores
-            # row order).
-            words2 = c2_ref[0]  # (KB // 4, B) int32
-            c2codes = jnp.concatenate(
-                [(words2 >> (8 * k)) & 0xFF for k in range(4)], axis=0
-            )
-            # Unpack this chunk's s1 codes into VMEM once (same strided
-            # scheme over CD columns); per-column reads then stay one cheap
-            # (1, B) slice.
-            words1 = c1_ref[0]  # (CD // 4, B) int32
-            cbuf[...] = jnp.concatenate(
-                [(words1 >> (8 * k)) & 0xFF for k in range(4)], axis=0
-            )
+
+            # Code words arrive PAIR-MAJOR (B, words) — the raw layout of
+            # the engine's row gather (Mosaic's block rule also forbids a
+            # words-minor block narrower than a lane tile) — and are
+            # transposed + unpacked into VMEM scratch ONCE per superblock:
+            # a materialized XLA transpose feeding the custom call measured
+            # ~5x the cost of the same transpose done in-kernel (lane/sublane
+            # shuffles on small resident tiles, overlapped with the DMAs),
+            # and the per-grid-step unpack this replaces re-ran nb times per
+            # chunk.  Strided pack: within window j of width win, byte k of
+            # word (j, slot r) = code j*win + k*win/4 + r, so stacking the
+            # four shift-ands along a new axis restores code order.
+            def unpack(wt, win4):
+                nwin = wt.shape[0] // win4
+                parts = [
+                    ((wt >> (8 * k)) & 0xFF).reshape(nwin, 1, win4, -1)
+                    for k in range(4)
+                ]
+                cat = jnp.concatenate(parts, axis=1)
+                return cat.reshape(nwin * 4 * win4, cat.shape[-1])
+
+            @pl.when((band == 0) & (c == 0))
+            def _codes():
+                cbuf[...] = unpack(c1_ref[0].T, CD // 4)  # (W, B)
+                kbuf[...] = unpack(c2_ref[0].T, KB // 4)  # (Kpad, B)
+
+            # This band's s2 codes (offset is a static multiple of KB).
+            c2codes = kbuf[pl.ds(pl.multiple_of(band * KB, KB), KB)]
             idx = c2codes & 7
             # Byte extract as (g << (24 - 8*(code>>3))) >> 24: arithmetic
             # final shift sign-extends the int8 score.
@@ -350,8 +413,8 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
             )
             inb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
-            def get_sd(i):
-                code_row = cbuf[pl.ds(i, 1)]  # (1, B) s1 code of column i
+            def get_sd(i, w):
+                code_row = cbuf[pl.ds(w, 1)]  # (1, B) s1 code of column w
                 idx1 = jnp.broadcast_to(code_row, (PACK8, shape[1]))
                 g8 = jax.lax.gather(
                     table, idx1[..., None], gd_lane, (1, 1), mode=inb
@@ -366,12 +429,12 @@ def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
                 return jnp.concatenate(parts, axis=0)
         else:
 
-            def get_sd(i):
+            def get_sd(i, w):
                 return sk_ref[0, i].astype(jnp.int32)
 
         def step(i, ab, j, carry):
             w = c * CD + i  # 0-based column
-            sd = get_sd(i)  # (KB, B)
+            sd = get_sd(i, w)  # (KB, B)
             h_ab = ab[0][j + 1 : j + 2]  # H[k0-1][col w]
             h_ab_prev = ab[0][j : j + 1]  # H[k0-1][col w-1]
             hprev, xprev, acc = carry
@@ -491,8 +554,10 @@ def align_prebuilt_inline(
     c1, c2, l1, l2, sub_p, gaps, *, algo: str, Lc: int, Lk: int, B: int,
     interpret: bool = False
 ):
-    """Run the column-sweep kernel with in-kernel scoring: c1/c2 from
-    build_inline; substitution scores never touch HBM."""
+    """Run the column-sweep kernel with in-kernel scoring: c1 (S, B, W//4)
+    / c2 (S, B, Kpad//4) PAIR-MAJOR packed code words (build_inline or
+    gathered pack_bucket_words rows); substitution scores never touch
+    HBM and no XLA-side transpose is needed."""
     S = c1.shape[0]
     n = S * B
     assert B == LANE  # the in-kernel lane gather spans exactly one vreg
@@ -511,10 +576,13 @@ def align_prebuilt_inline(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps (1, 3)
             pl.BlockSpec((PACK8, LANE), lambda s, b, c: (0, 0),
                          memory_space=pltpu.VMEM),  # packed submatrix
-            pl.BlockSpec((1, CD // 4, B), lambda s, b, c: (s, c, 0),
-                         memory_space=pltpu.VMEM),  # s1 code words (chunk)
-            pl.BlockSpec((1, KB // 4, B), lambda s, b, c: (s, b, 0),
-                         memory_space=pltpu.VMEM),  # s2 code words (band)
+            # Full word rows per superblock (the block index only moves with
+            # s, so Pallas fetches each once per superblock; a words-minor
+            # per-chunk block would violate Mosaic's lane-tile rule).
+            pl.BlockSpec((1, B, W // 4), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),  # s1 code words
+            pl.BlockSpec((1, B, Kpad // 4), lambda s, b, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),  # s2 code words
             pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
@@ -526,7 +594,8 @@ def align_prebuilt_inline(
         scratch_shapes=[
             pltpu.VMEM((3, KB, B), jnp.int32),  # H / X / acc carry handoff
             pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
-            pltpu.VMEM((CD, B), jnp.int32),  # unpacked s1 codes (chunk)
+            pltpu.VMEM((W, B), jnp.int32),  # unpacked s1 codes
+            pltpu.VMEM((Kpad, B), jnp.int32),  # unpacked s2 codes
         ],
         cost_estimate=pl.CostEstimate(
             flops=25 * S * B * Kpad * W, transcendentals=0,
