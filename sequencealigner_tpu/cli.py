@@ -445,7 +445,13 @@ def run(argv: list[str] | None = None) -> int:
             if cfg.checkpoint:
                 suffix = f".h{host_id}" if nhosts > 1 else ""
                 persist = cfg.checkpoint + suffix + ".scores"
-            store = OutputStore.plan(ss.num, persist_path=persist)
+            # Same stable length sort as Schedule.build: a spilling store
+            # lays the packed triangle out in sorted coordinates so the
+            # engine's combo-ordered flushes write sequential pages.
+            import numpy as np
+
+            perm = np.argsort(ss.lengths, kind="stable")
+            store = OutputStore.plan(ss.num, persist_path=persist, perm=perm)
         if cfg.checkpoint:
             from . import checkpoint as ckpt
 

@@ -23,11 +23,30 @@ def alignments(n: int) -> int:
 
 class OutputStore:
     def __init__(
-        self, dim: int, *, triangular: bool, spill: bool, persist_path=None
+        self, dim: int, *, triangular: bool, spill: bool, persist_path=None,
+        perm=None,
     ):
         self.dim = dim
         self.triangular = triangular
         self.spill = spill
+        # Sorted-coordinate mode (disk-spill stores): the packed triangle is
+        # laid out in LENGTH-SORTED space — ``perm[s]`` = original index at
+        # sorted position s (the engine's Schedule.order).  The engine emits
+        # flushes in combo-ordered streams whose sorted positions ascend
+        # monotonically, so in this layout every flush is a run of strictly
+        # ascending offsets: sequential page writes into the cold memmap (the
+        # TPU-scale analogue of the reference's column-sequential fills,
+        # src/io/output.c:68-84) instead of the ~10 k pairs/s random scatter
+        # measured at the 1M-seq rehearsal.  All reads translate through the
+        # inverse permutation, so the public API stays in original indices.
+        self.perm = None
+        self.pos = None
+        if perm is not None:
+            assert triangular, "sorted-coordinate layout is triangular-only"
+            self.perm = np.ascontiguousarray(perm, dtype=np.int64)
+            assert self.perm.shape == (dim,)
+            self.pos = np.empty(dim, dtype=np.int64)
+            self.pos[self.perm] = np.arange(dim, dtype=np.int64)
         n_elems = alignments(dim) if triangular else dim * dim
         if persist_path is not None:
             # Checkpoint mode: the matrix survives the process so a resumed
@@ -40,9 +59,13 @@ class OutputStore:
 
     @classmethod
     def plan(
-        cls, dim: int, *, force_triangular: bool = False, persist_path=None
+        cls, dim: int, *, force_triangular: bool = False, persist_path=None,
+        perm=None,
     ) -> "OutputStore":
-        """Mode decision of output_load (output.c:35-56)."""
+        """Mode decision of output_load (output.c:35-56).  ``perm`` (the
+        length-sorted order) activates the sorted-coordinate layout, but only
+        when the store spills to disk — in-RAM stores scatter fine and keep
+        the plain layout."""
         avail = system.available_memory()
         full_bytes = dim * dim * 4
         triangular = force_triangular or full_bytes > avail * 3 // 4
@@ -59,8 +82,16 @@ class OutputStore:
             ui.pinfom("Similarity Matrix size exceeds memory limits")
             ui.pinfol("Creating temporary file storage: %.2f %s", usage, unit)
         return cls(
-            dim, triangular=triangular, spill=spill, persist_path=persist_path
+            dim, triangular=triangular, spill=spill, persist_path=persist_path,
+            perm=perm if (spill and triangular) else None,
         )
+
+    def _translate(self, i: np.ndarray, j: np.ndarray):
+        """Original (i < j) -> this store's coordinates (lo < hi)."""
+        if self.pos is None:
+            return i, j
+        pi, pj = self.pos[i], self.pos[j]
+        return np.minimum(pi, pj), np.maximum(pi, pj)
 
     def fill_pairs(self, i: np.ndarray, j: np.ndarray, scores: np.ndarray) -> None:
         """Scatter a block of pair scores; i < j elementwise (the vectorized
@@ -73,6 +104,10 @@ class OutputStore:
         i = np.ascontiguousarray(i, dtype=np.int64)
         j = np.ascontiguousarray(j, dtype=np.int64)
         s = np.ascontiguousarray(scores, dtype=np.int32)
+        if self.pos is not None:
+            i, j = self._translate(i, j)
+            i = np.ascontiguousarray(i)
+            j = np.ascontiguousarray(j)
         # On few-core hosts NumPy's vectorized scatter beats the scalar
         # OpenMP loop (measured 15.9 vs 2.0 M pairs/s on a 1-core box);
         # the native path wins once threads can share the work.
@@ -91,6 +126,7 @@ class OutputStore:
         used to re-contribute resumed blocks in multi-host runs)."""
         i = np.asarray(i, dtype=np.int64)
         j = np.asarray(j, dtype=np.int64)
+        i, j = self._translate(i, j)
         if self.triangular:
             return np.asarray(self.matrix[j * (j - 1) // 2 + i])
         return np.asarray(self.matrix[i * self.dim + j])
@@ -107,6 +143,9 @@ class OutputStore:
             return 0
         if i > j:
             i, j = j, i
+        if self.pos is not None:
+            pi, pj = int(self.pos[i]), int(self.pos[j])
+            i, j = min(pi, pj), max(pi, pj)
         if self.triangular:
             return int(self.matrix[alignments(j) + i])
         return int(self.matrix[i * self.dim + j])
@@ -116,6 +155,8 @@ class OutputStore:
         the per-row conversion of hdf5.c:148-163."""
         if not self.triangular:
             return np.asarray(self.matrix[r * self.dim : (r + 1) * self.dim])
+        if self.pos is not None:
+            return self.rows(r, r + 1)[0]
         out = np.zeros(self.dim, dtype=np.int32)
         if r > 0:  # pairs (i<r): packed at alignments(r)+i
             out[:r] = self.matrix[alignments(r) : alignments(r) + r]
@@ -125,6 +166,23 @@ class OutputStore:
         return out
 
     def rows(self, start: int, end: int) -> np.ndarray:
+        if self.triangular and self.pos is not None:
+            # Sorted-coordinate layout: one vectorized gather per row chunk
+            # through the inverse permutation (the same packed-to-square
+            # read pattern as the reference's conversion, hdf5.c:148-163,
+            # just permuted).
+            p = self.pos[start:end, None]
+            q = self.pos[None, :]
+            lo = np.minimum(p, q)
+            hi = np.maximum(p, q)
+            hi = np.where(hi == lo, 1, hi)  # diagonal -> dummy slot 0
+            lo = np.where(hi == 1, np.minimum(lo, 0), lo)
+            out = np.asarray(
+                self.matrix[hi * (hi - 1) // 2 + lo], dtype=np.int32
+            )
+            rr = np.arange(start, end)
+            out[rr - start, rr] = 0  # the diagonal read a dummy slot
+            return out
         if self.triangular:
             from . import native
 

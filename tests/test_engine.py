@@ -64,6 +64,20 @@ def test_engine_triangular_store_equivalent():
         np.testing.assert_array_equal(full.row(r), tri.row(r))
 
 
+def test_engine_permuted_store_equivalent():
+    """Sorted-coordinate (spill-layout) store driven by the real engine
+    flush stream reproduces the plain store's matrix exactly."""
+    rng = np.random.default_rng(13)
+    ss = make_set(rng, 29)
+    perm = np.argsort(ss.lengths, kind="stable")
+    plain = OutputStore(ss.num, triangular=True, spill=False)
+    permu = OutputStore(ss.num, triangular=True, spill=False, perm=perm)
+    eng = Engine("ga", M.matrix, (0, -10, -1), target_cells=1 << 14)
+    eng.align_all(ss, plain, progress=False)
+    eng.align_all(ss, permu, progress=False)
+    np.testing.assert_array_equal(plain.rows(0, ss.num), permu.rows(0, ss.num))
+
+
 def test_engine_multi_device_mesh_matches_single():
     rng = np.random.default_rng(7)
     ss = make_set(rng, 23)

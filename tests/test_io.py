@@ -195,6 +195,59 @@ class TestOutputStore:
         st.fill_pairs(np.array([0]), np.array([3]), np.array([42]))
         assert st.get_pair(3, 0) == 42
 
+    def test_permuted_layout_equivalence(self):
+        """Sorted-coordinate layout: identical public API results, packed
+        offsets laid out in permuted space (sequential for combo streams)."""
+        rng = np.random.default_rng(3)
+        n = 23
+        perm = rng.permutation(n).astype(np.int64)
+        plain = OutputStore(n, triangular=True, spill=False)
+        permu = OutputStore(n, triangular=True, spill=False, perm=perm)
+        ii, jj = np.triu_indices(n, 1)
+        scores = rng.integers(-100, 100, len(ii)).astype(np.int32)
+        plain.fill_pairs(ii, jj, scores)
+        permu.fill_pairs(ii, jj, scores)
+        np.testing.assert_array_equal(
+            plain.read_pairs(ii, jj), permu.read_pairs(ii, jj)
+        )
+        for r in range(n):
+            np.testing.assert_array_equal(plain.row(r), permu.row(r))
+        np.testing.assert_array_equal(plain.rows(0, n), permu.rows(0, n))
+        np.testing.assert_array_equal(
+            plain.rows(5, n // 2 + 5), permu.rows(5, n // 2 + 5)
+        )
+        assert plain.get_pair(2, 9) == permu.get_pair(2, 9)
+        # The underlying layouts genuinely differ (unless perm is identity).
+        assert not np.array_equal(np.asarray(plain.matrix),
+                                  np.asarray(permu.matrix))
+
+    def test_permuted_plan_gated_on_spill(self):
+        # In-RAM plans ignore perm; only spilling stores adopt the layout.
+        st = OutputStore.plan(16, perm=np.arange(16)[::-1])
+        assert st.pos is None
+
+    def test_permuted_engine_ordered_offsets_ascend(self):
+        """The property the layout exists for: a combo-ordered stream of
+        original pairs maps to strictly ascending packed offsets."""
+        from sequencealigner_tpu.scheduler import Schedule, linear_to_pair
+
+        rng = np.random.default_rng(11)
+        lengths = rng.integers(10, 200, 500).astype(np.int32)
+        sched = Schedule.build(lengths)
+        st = OutputStore(500, triangular=True, spill=False, perm=sched.order)
+        b = max(range(len(sched.buckets)),
+                key=lambda k: sched.buckets[k].count)
+        bb = sched.buckets[b]
+        lin = np.arange(0, min(4000, bb.count * (bb.count - 1) // 2),
+                        dtype=np.int64)
+        rk, rc = linear_to_pair(lin)
+        ok = sched.order[bb.start + rk]
+        oc = sched.order[bb.start + rc]
+        oi, oj = np.minimum(ok, oc), np.maximum(ok, oc)
+        ti, tj = st._translate(oi, oj)
+        off = tj * (tj - 1) // 2 + ti
+        assert (np.diff(off) > 0).all()
+
 
 class TestHdf5:
     def test_chunk_heuristic(self):
