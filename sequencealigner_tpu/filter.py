@@ -16,10 +16,19 @@ TPU-first:
   eq+reduce — ~150x on the counting itself.
 - **Device-reduced prior verdicts, segment batching.**  Candidates are
   processed in SEGMENTS of several blocks per dispatch; the comparison
-  against every PRIOR block is reduced on-device against the current kept
+  against every PRIOR row is reduced on-device against the current kept
   mask, so per segment only one bool per candidate plus the (seg x seg)
   local tile crosses the host link.  Host work is the O(seg^2) greedy
   resolution only (native C with a NumPy fallback).
+- **Length-bucketed device residency.**  Prior rows live on device as
+  per-bucket (count, edge) code matrices (the engine's Schedule buckets),
+  NOT one (n, lmax) matrix: resident bytes are ~1.3x the input size (so the
+  2 GiB input cap bounds HBM at ~2.7 GB even for 20M short reads + one long
+  outlier, where global-lmax padding would need tens of GB).  Cross-length
+  comparisons contract over the BUCKET edge only — positions past the
+  shorter sequence one-hot to zero, so truncating the contraction at
+  min(edge, lmax) is exact.  This is the device analogue of the reference
+  filter's O(1) extra memory (filter.c:32-61).
 """
 
 from __future__ import annotations
@@ -33,38 +42,35 @@ import numpy as np
 from . import ui
 from .io.input import SequenceSet
 
-#: Pad value for the raw char matrix: NUL never occurs in parsed sequences
-#: (parsers reject it), so pad positions one-hot to the zero vector.
-_PAD = 0
-
 #: Blocks per dispatch segment: larger segments amortize host round trips
 #: (the n=100k filter was ~98% link latency at one block per dispatch).
 SEG_BLOCKS = 8
 
+#: One-hot bytes budget for a candidate segment (bounds the (S, lmax*24)
+#: bf16 intermediate; segments shrink for very long sequence sets).
+SEG_OH_BYTES = 1 << 30
 
-@functools.partial(jax.jit, static_argnames=("block", "nseg"))
-def _filter_segment(codes, lens, kept, thr, j0, *, block, nseg):
-    """One candidate segment [j0, j0 + block*nseg) against all prior blocks
-    and itself.
 
-    codes: (Np, L) int8 compact char codes (0..23; -1 at pad), Np a multiple
-    of block; lens: (Np,) int32 (0 on pad rows); kept: (Np,) uint8, final
-    below j0.  Returns killed_prior (S,) bool and sim_local (S, S) uint8,
-    S = block * nseg.
+@functools.partial(jax.jit, static_argnames=("block",))
+def _filter_segment(cols, collens, kept, thr, j0, *bargs, block):
+    """One candidate segment (cols: (S, lmax) int8 codes, -1 at pad) against
+    every prior row and itself.
+
+    bargs: per-bucket triples flattened — codes (cnt_pad, edge) int8, lens
+    (cnt_pad,) int32 (0 on pad rows), orig (cnt_pad,) int32 (original file
+    index; n on pad rows).  kept: (n + 1,) uint8 with kept[n] = 0, final
+    below j0.  Returns killed_prior (S,) bool and sim_local (S, S) uint8.
     """
     f32 = jnp.float32
-    S = block * nseg
-    L = codes.shape[1]
+    S, lmax = cols.shape
 
     def onehot_flat(rows):
         # bf16: guarantees the MXU path; counts <= L <= 2^14 are exact in
-        # the f32 accumulator
+        # the f32 accumulator.  -1 codes (pad) one-hot to the zero vector.
         oh = jax.nn.one_hot(rows, 24, dtype=jnp.bfloat16)  # (r, L, 24)
-        return oh.reshape(rows.shape[0], L * 24)
+        return oh.reshape(rows.shape[0], rows.shape[1] * 24)
 
-    cols = jax.lax.dynamic_slice_in_dim(codes, j0, S, 0)
-    collens = jax.lax.dynamic_slice_in_dim(lens, j0, S, 0)
-    colflat = onehot_flat(cols)  # (S, L*24)
+    colflat = onehot_flat(cols)  # (S, lmax*24)
 
     def sim_of(counts, rowlens):
         minlen = jnp.minimum(rowlens[:, None], collens[None, :])
@@ -72,26 +78,34 @@ def _filter_segment(codes, lens, kept, thr, j0, *, block, nseg):
             counts / jnp.maximum(minlen, 1).astype(f32) >= thr
         )
 
-    nblk = codes.shape[0] // block
+    killed = jnp.zeros(S, bool)
+    for codes_b, lens_b, orig_b in zip(*[iter(bargs)] * 3):
+        edge = codes_b.shape[1]
+        w = min(edge, lmax) * 24
+        colpart = colflat[:, :w]
 
-    def body(killed, i0):
-        rows = jax.lax.dynamic_slice_in_dim(codes, i0, block, 0)
-        rowlens = jax.lax.dynamic_slice_in_dim(lens, i0, block, 0)
-        keptb = jax.lax.dynamic_slice_in_dim(kept, i0, block, 0) != 0
-        counts = jax.lax.dot_general(
-            onehot_flat(rows), colflat,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block, S)
-        prior = sim_of(counts, rowlens) & keptb[:, None]
-        hit = jnp.any(prior & (i0 < j0), axis=0)  # whole block prior to j0
-        return killed | hit, None
+        def body(k, i0, codes_b=codes_b, lens_b=lens_b, orig_b=orig_b,
+                 colpart=colpart, w=w):
+            rows = jax.lax.dynamic_slice_in_dim(codes_b, i0, block, 0)
+            rowlens = jax.lax.dynamic_slice_in_dim(lens_b, i0, block, 0)
+            orig = jax.lax.dynamic_slice_in_dim(orig_b, i0, block, 0)
+            keptb = kept[orig] != 0
+            counts = jax.lax.dot_general(
+                onehot_flat(rows)[:, :w], colpart,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block, S)
+            prior = (
+                sim_of(counts, rowlens)
+                & (keptb & (orig < j0))[:, None]
+            )
+            return k | jnp.any(prior, axis=0), None
 
-    # Static full-square scan with an (i0 < j0) mask: a dynamic fori bound
-    # measured 13x SLOWER (465 vs 35 s at n=100k) — XLA pipelines the
-    # fixed-trip scan, not the dynamic loop.
-    i0s = jnp.arange(nblk, dtype=jnp.int32) * block
-    killed, _ = jax.lax.scan(body, jnp.zeros(S, bool), i0s)
+        # Static full scan with the per-row (orig < j0) mask: a dynamic
+        # fori bound measured 13x SLOWER (465 vs 35 s at n=100k) — XLA
+        # pipelines the fixed-trip scan, not the dynamic loop.
+        i0s = jnp.arange(codes_b.shape[0] // block, dtype=jnp.int32) * block
+        killed, _ = jax.lax.scan(body, killed, i0s)
 
     counts_local = jax.lax.dot_general(
         colflat, colflat,
@@ -102,14 +116,18 @@ def _filter_segment(codes, lens, kept, thr, j0, *, block, nseg):
     return killed, sim_local.astype(jnp.uint8)
 
 
-def _char_matrix(ss: SequenceSet, n: int, lmax: int) -> np.ndarray:
-    """(n, lmax) uint8 raw-byte matrix, vectorized (no per-sequence loop)."""
-    chars = np.zeros((n, lmax), dtype=np.uint8)
-    total = int(ss.offsets[n])
-    row = np.repeat(np.arange(n), np.diff(ss.offsets[: n + 1]).astype(np.int64))
-    col = np.arange(total, dtype=np.int64) - ss.offsets[row]
-    chars[row, col] = ss.data[:total]
-    return chars
+def _pack_codes(ss: SequenceSet, rows: np.ndarray, edge: int) -> np.ndarray:
+    """(len(rows), edge) int8 compact codes (0..23; -1 at pad) for the given
+    original indices — native fused pass, NumPy fallback."""
+    from .io import native
+
+    mat = native.pack_rows(ss.data, ss.offsets, rows, edge, ss.lut, -1)
+    if mat is None:
+        mat = np.full((len(rows), edge), -1, dtype=np.int8)
+        for local, orig in enumerate(rows):
+            s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
+            mat[local, : len(s)] = ss.lut[s].astype(np.int8)
+    return mat
 
 
 def filter_sequences(
@@ -119,35 +137,49 @@ def filter_sequences(
     if threshold <= 0.0:
         return ss, 0
 
+    from .scheduler import Schedule
+
     n = ss.num
-    S = block * SEG_BLOCKS
-    npad = -(-n // S) * S
-    lengths = np.zeros(npad, np.int32)
-    lengths[:n] = ss.lengths
-    chars = np.zeros((npad, ss.max_len), dtype=np.uint8)
-    chars[:n] = _char_matrix(ss, n, ss.max_len)
-    # Compact codes: valid chars map through the parse-time LUT (0..23);
-    # pad/invalid become -1, whose one-hot is the zero vector (never matches).
-    codes = np.where(
-        chars == _PAD, np.int8(-1), ss.lut[chars].astype(np.int8)
-    )
+    lmax = int(ss.max_len)
+    seg_blocks = max(1, min(SEG_BLOCKS, SEG_OH_BYTES // (block * lmax * 48)))
+    S = block * seg_blocks
+
+    # Per-bucket device residency (see module notes).
+    sched = Schedule.build(ss.lengths)
+    bargs = []
+    for b in sched.buckets:
+        rows = sched.order[b.start : b.end]
+        cnt = len(rows)
+        cpad = -(-cnt // block) * block
+        mat = np.full((cpad, b.edge), -1, dtype=np.int8)
+        mat[:cnt] = _pack_codes(ss, rows, b.edge)
+        lens = np.zeros(cpad, np.int32)
+        lens[:cnt] = ss.lengths[rows]
+        orig = np.full(cpad, n, np.int32)
+        orig[:cnt] = rows
+        bargs += [jax.device_put(mat), jax.device_put(lens),
+                  jax.device_put(orig)]
+    bargs = tuple(bargs)
 
     thr = np.float32(threshold)
-    lost = np.zeros(npad, dtype=np.uint8)
-    kept = np.ones(npad, dtype=np.uint8)
+    lost = np.zeros(n, dtype=np.uint8)
+    kept = np.ones(n + 1, dtype=np.uint8)
+    kept[n] = 0  # pad rows resolve against this slot
     bar = ui.Progress(n - 1, "Filtering sequences") if progress else None
 
-    codes_dev = jax.device_put(codes)
-    lens_dev = jax.device_put(lengths)
     from .io import native
 
     for j0 in range(0, n, S):
         j1 = min(j0 + S, n)
-        killed, sim_local = _filter_segment(
-            codes_dev, lens_dev, jax.device_put(kept), thr,
-            np.int32(j0), block=block, nseg=SEG_BLOCKS,
-        )
         bsz = j1 - j0
+        cols = np.full((S, lmax), -1, dtype=np.int8)
+        cols[:bsz] = _pack_codes(ss, np.arange(j0, j1, dtype=np.int64), lmax)
+        collens = np.zeros(S, np.int32)
+        collens[:bsz] = ss.lengths[j0:j1]
+        killed, sim_local = _filter_segment(
+            jax.device_put(cols), jax.device_put(collens),
+            jax.device_put(kept), thr, np.int32(j0), *bargs, block=block,
+        )
         killed = np.asarray(killed)[:bsz]
         # Host greedy within the segment, with the device-reduced prior-block
         # verdict folded in as a SENTINEL row 0 (a permanently-kept pseudo
