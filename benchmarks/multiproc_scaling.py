@@ -1,0 +1,160 @@
+"""Multi-process (multi-host) scaling measurement + projection.
+
+This image has ONE physical TPU chip and ONE CPU core, so a wall-clock
+multi-host run is not measurable here.  What IS measurable, honestly:
+
+1. **Per-host stripe walls** — the engine's deterministic superblock
+   striping (``partition=(k, P)``, parallel/multihost.py) run one stripe at
+   a time on the real chip.  In a real deployment each stripe runs
+   CONCURRENTLY on its own host's chip; the projected multi-host align wall
+   is ``max_k stripe_wall_k`` (stripes share nothing but DCN).
+2. **Merge cost** — a REAL two-process ``jax.distributed`` + gloo
+   allgather exchanging flush-sized triplet batches over localhost, timed.
+   DCN would be slower than loopback; the model reports bytes so any link
+   bandwidth can be substituted: merge moves 14 B/pair/host (i64+i64+i32 ->
+   packed by the collective), all-to-all.
+
+Projected efficiency(P) = T1 / (P * (max stripe + merge)).  Emits JSON
+lines; results recorded in BASELINE.md.
+
+Usage:
+  python benchmarks/multiproc_scaling.py [--skip-stripes] [--n 4096]
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import textwrap
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def measure_merge(npairs: int = 4_000_000) -> float:
+    """Two real processes, gloo allgather, npairs triplets per host."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with tempfile.TemporaryDirectory() as td:
+        worker = Path(td) / "w.py"
+        worker.write_text(textwrap.dedent(f"""
+            import os, sys, time, json
+            proc_id = int(sys.argv[1])
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                                       num_processes=2, process_id=proc_id,
+                                       local_device_ids=[proc_id])
+            import numpy as np
+            from sequencealigner_tpu.parallel import multihost
+            merger = multihost.TripletMerger(2)
+            n = {npairs}
+            rng = np.random.default_rng(proc_id)
+            i = rng.integers(0, 1 << 40, n).astype(np.int64)
+            j = i + 1
+            s = rng.integers(-1000, 1000, n).astype(np.int32)
+            merger(i[:1000], j[:1000], s[:1000])  # warm the collective
+            t0 = time.perf_counter()
+            oi, oj, os_ = merger(i, j, s)
+            dt = time.perf_counter() - t0
+            assert len(os_) == 2 * n
+            if proc_id == 0:
+                print(json.dumps(dict(merge_seconds=dt, pairs_exchanged=2*n)))
+        """))
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        procs = [
+            subprocess.Popen([sys.executable, str(worker), str(k)],
+                             cwd=str(REPO), env=env,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT)
+            for k in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out.decode()[-2000:]
+        for line in outs[0].decode().splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                log(phase="merge_2proc_gloo", **d,
+                    pairs_per_sec=round(d["pairs_exchanged"]
+                                        / d["merge_seconds"]),
+                    bytes_per_pair=14)
+                return d["merge_seconds"] / d["pairs_exchanged"]
+    raise RuntimeError("merge measurement produced no result")
+
+
+def measure_stripes(n: int, procs=(1, 2, 4, 8)):
+    from sequencealigner_tpu import matrices
+    from sequencealigner_tpu.engine import Engine
+    from sequencealigner_tpu.io.input import SequenceSet
+
+    rng = np.random.default_rng(20260816)
+    m = matrices.get("blosum62")
+    seqs = [rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                       int(rng.integers(24, 65))) for _ in range(n)]
+    ss = SequenceSet.from_list(seqs, m.lut)
+    eng = Engine("ga", m.matrix, (0, -10, -1))
+    eng.align_all(ss, None, progress=False)  # compile/warm
+    out = {}
+    for P in procs:
+        walls, pairs = [], []
+        for k in range(P):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st = eng.align_all(ss, None, progress=False,
+                                   partition=(k, P))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            walls.append(best)
+            pairs.append(st.pairs)
+        out[P] = (max(walls), sum(pairs))
+        log(phase="stripes", P=P, stripe_walls_ms=[round(w * 1e3, 1)
+                                                   for w in walls],
+            max_wall_ms=round(max(walls) * 1e3, 1),
+            balance=round(max(walls) / (sum(walls) / len(walls)), 3),
+            total_pairs=sum(pairs))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--skip-stripes", action="store_true")
+    ap.add_argument("--merge-pairs", type=int, default=4_000_000)
+    args = ap.parse_args()
+
+    sec_per_pair = measure_merge(args.merge_pairs)
+    if args.skip_stripes:
+        return
+    stripes = measure_stripes(args.n)
+    t1 = stripes[1][0]
+    total_pairs = stripes[1][1]
+    for P, (wall, _) in sorted(stripes.items()):
+        # per-host merge exchanges this host's pairs with P-1 peers; the
+        # loopback-gloo cost scales it linearly in P as a pessimistic bound
+        merge = sec_per_pair * total_pairs * (P - 1) / max(P, 1)
+        eff = t1 / (P * (wall + merge))
+        log(phase="projection", P=P, stripe_wall_ms=round(wall * 1e3, 1),
+            merge_ms=round(merge * 1e3, 1),
+            projected_efficiency_pct=round(100 * eff, 1))
+
+
+if __name__ == "__main__":
+    main()

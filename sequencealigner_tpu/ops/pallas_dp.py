@@ -76,8 +76,20 @@ LANE = 128
 #: VMEM budget for one score chunk (two are live due to double buffering).
 CHUNK_BYTES = 2 << 20
 
-#: Band height (int8 sublane tile).
+#: Default band height (int8 sublane tile).  See band_kb.
 KB = 32
+
+
+def band_kb(Lk: int) -> int:
+    """Band height for a given row count: 64 whenever that does not inflate
+    Kpad beyond the 32-band rounding (Lk in (64k-32, 64k]) — doubling the
+    band halves the per-cell share of the per-column fixed costs (prev-stream
+    I/O, the profile lane gather, the prefix scan's log term); everywhere
+    else (Lk <= 32 or a 33..32-overhang edge like 96/160) stay at 32 so
+    padded cells don't grow."""
+    if Lk > 32 and round_up(Lk, 64) == round_up(Lk, 32):
+        return 64
+    return 32
 
 #: Longest padded column count the inline kernel accepts: the band-crossing
 #: stream lives in VMEM at (2, nprev, W+1, B) int32 ≈ 4 KiB per column
@@ -93,10 +105,12 @@ def round_up(x: int, m: int) -> int:
 
 def geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int, int]:
     """(nb, Kpad, CD, W): band count, padded row count, column chunk, padded
-    column count.  One band IS the monolithic case when Lk <= KB."""
-    nb = -(-Lk // KB)
-    Kpad = nb * KB
-    cap = max(8, CHUNK_BYTES // (KB * B) // 8 * 8)
+    column count.  One band IS the monolithic case when Lk <= band_kb(Lk).
+    The band height itself is band_kb(Lk) — derived, not returned."""
+    kb = band_kb(Lk)
+    nb = -(-Lk // kb)
+    Kpad = nb * kb
+    cap = max(8, CHUNK_BYTES // (kb * B) // 8 * 8)
     wmin = round_up(Lc, 8)
     if cap >= wmin:
         CD = wmin
@@ -211,15 +225,16 @@ def build_inline(s1, s2, *, S: int, B: int, Lc: int, Lk: int,
     interleave), once per grid step."""
     i8 = jnp.int8
     n = S * B
+    kb = band_kb(Lk)
     s1p = jnp.pad(s1.astype(i8), ((0, 0), (0, W - Lc)), constant_values=PAD)
     s2p = jnp.pad(s2.astype(i8), ((0, 0), (0, Kpad - Lk)), constant_values=PAD)
     w1 = jax.lax.bitcast_convert_type(
         s1p.reshape(n, W // CD, 4, CD // 4).transpose(0, 1, 3, 2), jnp.int32
     )  # (n, W//CD, CD//4)
     w2 = jax.lax.bitcast_convert_type(
-        s2p.reshape(n, Kpad // KB, 4, KB // 4).transpose(0, 1, 3, 2),
+        s2p.reshape(n, Kpad // kb, 4, kb // 4).transpose(0, 1, 3, 2),
         jnp.int32,
-    )  # (n, Kpad//KB, KB//4)
+    )  # (n, Kpad//kb, kb//4)
     c1 = w1.reshape(S, B, W // 4)
     c2 = w2.reshape(S, B, Kpad // 4)
     return c1, c2
@@ -253,7 +268,7 @@ def pack_bucket_words(mat: np.ndarray, edge: int):
         )
         return w.view(np.int32).reshape(count, width // 4)
 
-    return strided(W, CD), strided(Kpad, KB)
+    return strided(W, CD), strided(Kpad, band_kb(edge))
 
 
 def align_packed(
@@ -274,7 +289,7 @@ def align_packed(
     )
 
 
-def _make_kernel(algo: str, CD: int, W: int, inline: bool = False):
+def _make_kernel(algo: str, CD: int, W: int, KB: int, inline: bool = False):
     sm = np.int32(SCORE_MIN)  # concrete literal (a jnp scalar would be traced)
     nprev = 1 if algo == "nw" else 2  # H (+ Y) bottom-row streams
     LOG = KB.bit_length() - 1
@@ -516,6 +531,7 @@ def align_prebuilt(
     S = sk.shape[0]
     n = S * B
     nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    kb = band_kb(Lk)
     l1b = l1.reshape(S, 1, B).astype(jnp.int32)
     l2b = l2.reshape(S, 1, B).astype(jnp.int32)
     gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
@@ -523,11 +539,11 @@ def align_prebuilt(
     grid = (S, nb, W // CD)
     nprev = 1 if algo == "nw" else 2
     out = pl.pallas_call(
-        _make_kernel(algo, CD, W),
+        _make_kernel(algo, CD, W, kb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps (1, 3)
-            pl.BlockSpec((1, CD, KB, B), lambda s, b, c: (s, c, b, 0),
+            pl.BlockSpec((1, CD, kb, B), lambda s, b, c: (s, c, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B), lambda s, b, c: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -538,7 +554,7 @@ def align_prebuilt(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((3, KB, B), jnp.int32),  # H / X / acc carry handoff
+            pltpu.VMEM((3, kb, B), jnp.int32),  # H / X / acc carry handoff
             pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
         ],
         cost_estimate=pl.CostEstimate(
@@ -562,6 +578,7 @@ def align_prebuilt_inline(
     n = S * B
     assert B == LANE  # the in-kernel lane gather spans exactly one vreg
     nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    kb = band_kb(Lk)
     l1b = l1.reshape(S, 1, B).astype(jnp.int32)
     l2b = l2.reshape(S, 1, B).astype(jnp.int32)
     gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
@@ -570,7 +587,7 @@ def align_prebuilt_inline(
     grid = (S, nb, W // CD)
     nprev = 1 if algo == "nw" else 2
     out = pl.pallas_call(
-        _make_kernel(algo, CD, W, inline=True),
+        _make_kernel(algo, CD, W, kb, inline=True),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps (1, 3)
@@ -592,7 +609,7 @@ def align_prebuilt_inline(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, B), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((3, KB, B), jnp.int32),  # H / X / acc carry handoff
+            pltpu.VMEM((3, kb, B), jnp.int32),  # H / X / acc carry handoff
             pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
             pltpu.VMEM((W, B), jnp.int32),  # unpacked s1 codes
             pltpu.VMEM((Kpad, B), jnp.int32),  # unpacked s2 codes

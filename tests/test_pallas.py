@@ -168,12 +168,22 @@ def test_kernel_randomized_shapes():
 
 
 def test_geometry_helpers():
+    from sequencealigner_tpu.ops.pallas_dp import band_kb
+
     assert round_up(65, 32) == 96
+    # 96 rows: a 64-band would round Kpad to 128 — stays on 32-bands
     nb, Kpad, CD, W = geometry(100, 96, 128)
-    assert nb == 3 and Kpad == 96
+    assert band_kb(96) == 32 and nb == 3 and Kpad == 96
     assert W % CD == 0 and CD % 8 == 0 and W >= 100
     # chunk fits the VMEM budget with double buffering
-    assert CD * KB * 128 <= (2 << 20)
+    assert CD * band_kb(96) * 128 <= (2 << 20)
+    # 33..64 and 97..128 round the same either way -> 64-bands
+    assert band_kb(64) == 64 and band_kb(33) == 64 and band_kb(128) == 64
+    nb64, Kpad64, _, _ = geometry(64, 64, 128)
+    assert nb64 == 1 and Kpad64 == 64
+    # short buckets keep the 32-band (a 64-band would double padded cells)
+    nb32, Kpad32, _, _ = geometry(32, 24, 128)
+    assert band_kb(24) == 32 and nb32 == 1 and Kpad32 == 32
 
 
 @pytest.mark.parametrize("algo,gaps", GAP_CASES)
