@@ -329,6 +329,19 @@ class Engine:
         self.target_cells = target_cells
         self._rep = NamedSharding(self.mesh, P())
         self._plock = threading.Lock()  # guards the pending list (poller)
+        # Proxied clients (the axon TPU tunnel) serialize is_ready() behind
+        # in-flight work on a global client lock — fine-grained progress
+        # probing there collapses the async pipeline (measured 61 s vs 1.3 s
+        # on a 2016-pair run).  Fingerprint via platform_version and fall
+        # back to flush-granular progress up front; the poll-budget guard in
+        # align_all covers clients this string test misses.
+        try:
+            ver = getattr(
+                self.mesh.devices.flat[0].client, "platform_version", ""
+            )
+        except Exception:
+            ver = ""
+        self._poll_ok = "axon" not in ver
 
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
@@ -627,11 +640,20 @@ class Engine:
             # reference's 4 Hz device progress-counter poll
             # (seqalign_cuda.c:286-289, progress.h:163-281).  Only the
             # OLDEST unclaimed entry is probed per tick (completion is
-            # in-order per device stream, so probing more adds nothing),
-            # and slow probes — some clients serialize is_ready() behind
-            # in-flight work on a global lock — back the poll rate off so
-            # the poller can never starve the dispatching main thread.
+            # in-order per device stream, so probing more adds nothing).
+            # On some clients (the axon TPU tunnel) is_ready() is NOT
+            # non-blocking: it serializes behind in-flight work on a global
+            # client lock, which also blocks the main thread's dispatches —
+            # every probe then collapses the async pipeline to one-entry-at-
+            # a-time (measured: 61 s vs 1.3 s for a 2016-pair CLI run).
+            # Backing off the poll rate is not enough, because each probe
+            # still stalls the pipeline for that entry's full latency; so
+            # the poller carries a cumulative blocked-time budget and STOPS
+            # probing for the rest of this align_all once it is spent —
+            # progress then updates at flush granularity (do_flush's
+            # bar.add), bounding the damage to one early stall.
             wait = 0.25
+            budget = 0.25  # total seconds of blocked-probe time tolerated
             while not stop.wait(wait):
                 with self._plock:
                     e = next((x for x in pending if not x[2]), None)
@@ -643,6 +665,10 @@ class Engine:
                 except Exception:
                     return  # probe unsupported; flush-granular fallback
                 probe = time.perf_counter() - t0
+                if probe > 0.05:
+                    budget -= probe
+                    if budget <= 0:
+                        return  # client blocks probes; flush-granular fallback
                 wait = min(2.0, max(0.25, probe * 10.0))
                 if ready:
                     # Re-claim under the lock: the flusher may have
@@ -655,7 +681,10 @@ class Engine:
 
         poll_stop = threading.Event()
         poller = None
-        if bar:
+        # _poll_ok False: proxied client — skip the poller, progress moves at
+        # flush granularity (do_flush's bar.add) like the reference's batch
+        # counter between device polls.
+        if bar and self._poll_ok:
             poller = threading.Thread(
                 target=poll_progress, args=(poll_stop,), daemon=True
             )
