@@ -8,7 +8,7 @@ sharded, never one DP matrix), each host scores its stripe on its local
 devices, and score triplets are merged with ``process_allgather`` over
 DCN so every host ends with the complete result.  No sequence data moves:
 inputs are replicated (every host parses the same file), only final scores
-(12 B/pair) cross the network.
+(20 B/pair, packed — see pack_triplets) cross the network.
 
 Design notes:
 - Striping is by global superblock index (round-robin), which balances load
@@ -60,13 +60,37 @@ def default_gather():
     return multihost_utils.process_allgather
 
 
+#: Quantum (int32 words) the packed payload is padded to: the underlying
+#: collective compiles per shape, so quantizing to powers of two bounds a
+#: whole run's compile set to O(log max-flush) executables instead of one
+#: per flush.
+PAD_QUANTUM = 1 << 16
+
+
+def pack_triplets(i, j, s, cap: int) -> np.ndarray:
+    """One host's (i, j, score) triplets as a single padded int32 payload:
+    [i as little-endian int64 word pairs | j likewise | s], zero-padded to
+    ``cap`` words.  5 words (20 B) per pair — one collective moves the whole
+    flush, where the previous layout cost four (sizes + three dtype-split
+    gathers, each a fresh executable whenever the flush size changed)."""
+    n = len(s)
+    buf = np.zeros(cap, np.int32)
+    buf[: 2 * n] = np.ascontiguousarray(np.asarray(i, np.int64)).view(np.int32)
+    buf[2 * n : 4 * n] = np.ascontiguousarray(
+        np.asarray(j, np.int64)
+    ).view(np.int32)
+    buf[4 * n : 5 * n] = np.asarray(s, np.int32)
+    return buf
+
+
 class TripletMerger:
     """Exchange (i, j, score) triplets between hosts; every host returns the
     union, so each host's OutputStore converges to the full matrix.
 
     ``gather`` maps a host-local ndarray to a stacked (nhosts, ...) ndarray
     (injected in tests; defaults to jax.experimental.multihost_utils
-    process_allgather over DCN).
+    process_allgather over DCN).  Two collectives per merge: a fixed-shape
+    word-count exchange, then ONE packed payload gather (pack_triplets).
     """
 
     def __init__(self, nhosts: int, gather=None):
@@ -79,22 +103,19 @@ class TripletMerger:
         if self.nhosts == 1:
             return i, j, s
         gather = self._gather or default_gather()
-        n_local = np.asarray([len(s)], dtype=np.int64)
-        sizes = np.asarray(gather(n_local)).reshape(-1)
+        words = np.asarray([5 * len(s)], dtype=np.int64)
+        sizes = np.asarray(gather(words)).reshape(-1)
         m = int(sizes.max())
-
-        def exchange(x, dtype):
-            x = np.asarray(x, dtype=dtype)
-            if m > len(x):
-                x = np.concatenate([x, np.zeros(m - len(x), dtype=dtype)])
-            g = np.asarray(gather(x))  # (nhosts, m)
-            return np.concatenate([g[h, : sizes[h]] for h in range(len(sizes))])
-
-        return (
-            exchange(i, np.int64),
-            exchange(j, np.int64),
-            exchange(s, np.int32),
-        )
+        cap = PAD_QUANTUM if m <= PAD_QUANTUM else 1 << int(m - 1).bit_length()
+        g = np.asarray(gather(pack_triplets(i, j, s, cap)))  # (nhosts, cap)
+        ii, jj, ss = [], [], []
+        for h in range(len(sizes)):
+            nh = int(sizes[h]) // 5
+            row = g[h]
+            ii.append(np.ascontiguousarray(row[: 2 * nh]).view(np.int64))
+            jj.append(np.ascontiguousarray(row[2 * nh : 4 * nh]).view(np.int64))
+            ss.append(row[4 * nh : 5 * nh])
+        return np.concatenate(ii), np.concatenate(jj), np.concatenate(ss)
 
 
 def barrier(name: str = "seqalign") -> None:

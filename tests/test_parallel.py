@@ -74,29 +74,25 @@ class FakeGather:
 
 
 def test_triplet_merger_exchanges_union():
+    from sequencealigner_tpu.parallel.multihost import pack_triplets
+
     i0, j0, s0 = (np.array([1, 2], np.int64), np.array([3, 4], np.int64),
                   np.array([10, 20], np.int32))
-    i1, j1, s1 = (np.array([5], np.int64), np.array([6], np.int64),
-                  np.array([30], np.int32))
-
-    calls = {"n": 0}
+    # int64-range indices must survive the int32-word packing
+    i1, j1, s1 = (np.array([1 << 40], np.int64), np.array([6], np.int64),
+                  np.array([-30], np.int32))
 
     def gather(x):
-        # emulate both hosts contributing: host0's arrays then host1's padded
-        calls["n"] += 1
-        if x.dtype == np.int64 and len(x) == 1:  # sizes exchange
-            return np.array([[2], [1]])
-        if calls["n"] == 2:  # i
-            return np.stack([i0, np.array([5, 0], np.int64)])
-        if calls["n"] == 3:  # j
-            return np.stack([j0, np.array([6, 0], np.int64)])
-        return np.stack([s0, np.array([30, 0], np.int32)])
+        # emulate both hosts contributing to each collective
+        if x.dtype == np.int64 and len(x) == 1:  # word-count exchange
+            return np.array([[5 * 2], [5 * 1]])
+        return np.stack([x, pack_triplets(i1, j1, s1, len(x))])
 
     m = TripletMerger(2, gather=gather)
     gi, gj, gs = m(i0, j0, s0)
-    np.testing.assert_array_equal(gi, [1, 2, 5])
+    np.testing.assert_array_equal(gi, [1, 2, 1 << 40])
     np.testing.assert_array_equal(gj, [3, 4, 6])
-    np.testing.assert_array_equal(gs, [10, 20, 30])
+    np.testing.assert_array_equal(gs, [10, 20, -30])
 
 
 def test_triplet_merger_single_host_passthrough():
