@@ -54,6 +54,18 @@ ALGOS = ("nw", "ga", "sw")
 #: with the next wave's device compute.
 FLUSH_PAIRS = int(os.environ.get("SEQALIGN_TPU_FLUSH_PAIRS", 1 << 22))
 
+#: Seconds between checkpoint sync points (journal runs only).  Each sync
+#: msyncs the persistent score store and then commits the journaled block
+#: ids accumulated since the last sync.  Syncing EVERY flush is ruinous for
+#: large full-matrix stores: one flush's random scatter dirties nearly every
+#: page of the file (e.g. ~10 GB at n=50k), so per-flush msync rewrites the
+#: whole store to disk at flush cadence — measured 12x end-to-end slowdown
+#: and a saturated disk.  Interval batching bounds the machine-crash
+#: durability window to this many seconds (process crashes lose nothing
+#: extra: page cache survives SIGKILL; uncommitted blocks are recomputed on
+#: resume either way).  0 = sync at every flush (the old behavior).
+SYNC_INTERVAL = float(os.environ.get("SEQALIGN_TPU_SYNC_INTERVAL", 300.0))
+
 # Persistent compilation cache: a CLI run is a fresh process, and the bucketed
 # pair schedule compiles one executable per (algo, Lc, Lk, B) shape — cache
 # them across invocations so only the first-ever run pays compile time.
@@ -516,6 +528,8 @@ class Engine:
         gaps_dev = self._put_rep(self.gaps)
 
         stats = AlignStats()
+        commit_backlog: list = []  # journaled blocks awaiting a sync point
+        last_sync = [time.perf_counter()]
         pending: list = []  # (dev_scores_flat, [(gidx, blk), ...])
         resumed_triplets: list = []  # journaled blocks to re-merge (multihost)
         inflight = 0
@@ -591,9 +605,23 @@ class Engine:
             if store is not None and len(os_):
                 store.fill_pairs(oi, oj, os_)
             if journal is not None:
-                if store is not None:
-                    store.sync()  # scores durable no later than the journal
-                journal.commit(committed)
+                # Commit through the interval batcher: scores are made
+                # durable (store.sync) no later than the journal entry, but
+                # only every SYNC_INTERVAL seconds — per-flush msync rewrites
+                # ~the whole store for random-scatter flushes (see
+                # SYNC_INTERVAL).  do_flush executions are serialized (one
+                # flusher at a time, joined before the next starts), so the
+                # backlog needs no lock.
+                commit_backlog.extend(committed)
+                if (
+                    SYNC_INTERVAL <= 0
+                    or time.perf_counter() - last_sync[0] >= SYNC_INTERVAL
+                ):
+                    if store is not None:
+                        store.sync()
+                    journal.commit(commit_backlog)
+                    commit_backlog.clear()
+                    last_sync[0] = time.perf_counter()
 
         def join_flusher():
             if flusher:
@@ -788,6 +816,13 @@ class Engine:
         tf = time.perf_counter()
         flush(sync=True)
         join_flusher()  # nothing outstanding after a sync flush; belt-and-braces
+        if journal is not None and commit_backlog:
+            # Drain the interval batcher: the run's last blocks must be
+            # durable + journaled before align_all returns.
+            if store is not None:
+                store.sync()
+            journal.commit(commit_backlog)
+            commit_backlog.clear()
         mark("final_flush", tf)
         if bar:
             bar.end()
