@@ -106,11 +106,19 @@ def round_up(x: int, m: int) -> int:
 def geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int, int]:
     """(nb, Kpad, CD, W): band count, padded row count, column chunk, padded
     column count.  One band IS the monolithic case when Lk <= band_kb(Lk).
-    The band height itself is band_kb(Lk) — derived, not returned."""
+    The band height itself is band_kb(Lk) — derived, not returned.
+
+    CD is a function of Lc ONLY (the cap is computed for the maximum band
+    height, not band_kb(Lk)): pack_bucket_words lays a bucket's c-side words
+    out once with the bucket's own geometry, and every combo that bucket
+    appears in — whatever the partner's band height — must unpack with the
+    SAME window or the codes land in the wrong columns (a (320, 32) combo
+    against a 64-band-packed 320 bucket measured silently wrong scores
+    before this was pinned)."""
     kb = band_kb(Lk)
     nb = -(-Lk // kb)
     Kpad = nb * kb
-    cap = max(8, CHUNK_BYTES // (kb * B) // 8 * 8)
+    cap = max(8, CHUNK_BYTES // (64 * B) // 8 * 8)
     wmin = round_up(Lc, 8)
     if cap >= wmin:
         CD = wmin

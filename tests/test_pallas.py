@@ -208,3 +208,57 @@ def test_inline_scoring_matches_oracle(algo, gaps, Lc, Lk):
             algo, s1[b, : l1[b]], s2[b, : l2[b]], M.matrix, **kw
         )
         assert got[b] == want, (algo, b, got[b], want)
+
+
+def test_packed_words_cross_band_combo():
+    """pack_bucket_words lays a bucket's words out ONCE with its own
+    geometry; a combo against a different-band partner must unpack them
+    identically.  (320, 32) is the regression shape: band_kb(32) = 32 vs
+    the 320 bucket's own 64-band packing chose different column-chunk
+    windows before geometry()'s CD was made a function of Lc alone —
+    silently wrong scores for short-vs-medium protein buckets."""
+    import jax.numpy as jnp
+
+    from sequencealigner_tpu.ops import pallas_dp
+
+    rng = np.random.default_rng(3)
+    B = 128
+    Lc, Lk = 320, 32
+    l1 = rng.integers(280, 321, B).astype(np.int32)
+    l2 = rng.integers(20, 33, B).astype(np.int32)
+    mat_c = np.full((B, Lc), PAD, np.int8)
+    mat_k = np.full((B, Lk), PAD, np.int8)
+    for r in range(B):
+        mat_c[r, : l1[r]] = rng.integers(0, 20, l1[r])
+        mat_k[r, : l2[r]] = rng.integers(0, 20, l2[r])
+    cform, _ = pallas_dp.pack_bucket_words(mat_c, Lc)  # own edge-320 layout
+    _, kform = pallas_dp.pack_bucket_words(mat_k, Lk)  # own edge-32 layout
+    out = np.asarray(
+        pallas_dp.align_packed(
+            jnp.asarray(cform), jnp.asarray(kform),
+            jnp.asarray(l1), jnp.asarray(l2), jnp.asarray(SUB_P),
+            jnp.asarray(np.array([0, -10, -1], np.int32)),
+            algo="ga", Lc=Lc, Lk=Lk, B=B, interpret=True,
+        )
+    )
+    for r in range(0, B, 17):
+        want = oracle.align_score(
+            "ga", mat_c[r][: l1[r]].astype(np.int32),
+            mat_k[r][: l2[r]].astype(np.int32), M.matrix, opn=-10, ext=-1,
+        )
+        assert out[r] == want, (r, out[r], want)
+
+
+def test_geometry_cd_is_partner_independent():
+    """Every combo a bucket can appear in must share the bucket's own CD/W
+    (the c-side packed layout), whatever the partner's band height."""
+    from sequencealigner_tpu.scheduler import DEFAULT_EDGES
+
+    edges = [e for e in DEFAULT_EDGES if e <= 4096]
+    for ec in edges:
+        _, _, cd_own, w_own = geometry(ec, ec, 128)
+        for ek in edges:
+            if ek > ec:
+                continue
+            _, _, cd, w = geometry(ec, ek, 128)
+            assert (cd, w) == (cd_own, w_own), (ec, ek, cd, cd_own)
