@@ -166,15 +166,38 @@ def _gather_pairs(
 
 
 def _stack_body(
-    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
+    bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
     *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
-    shard_offset=None, interpret=False,
+    packed=False, shard_offset=None, interpret=False,
 ):
     """Score a stack of superblocks in a single dispatch: lax.map over the
     (nblk,) superblock start ids compiles the per-superblock body once and
     the device runs the whole stack without host round trips (the reference's
     CUDA batch loop, seqalign_cuda.c:183-290, needs host code per batch; here
-    the 'loop' is compiled in)."""
+    the 'loop' is compiled in).
+
+    starts[0] is the combo's pair count, starts[1:] the superblock start
+    ids — folding npairs into the one per-dispatch transfer instead of a
+    separate 8-byte put per combo (each put costs a host->device round trip
+    on tunneled links).
+
+    packed: bucket_c / bucket_k are per-bucket COMBINED arrays
+    (io upload shape (count, Wc//4 + Kk//4 + 1) int32: c-form words, k-form
+    words, true length — one device_put per bucket instead of four); the
+    code/length slices are static per combo, so the lens_c/lens_k args are
+    unused (None)."""
+    npairs = starts[0]
+    starts = starts[1:]
+    if packed:
+        # Static slice offsets: after geometry()'s CD fix, a bucket's own
+        # W / Kpad equal every combo's, so the columns are compile-time.
+        Wc4 = pallas_dp.geometry(Lc, Lc, B)[3] // 4
+        Wk4 = pallas_dp.geometry(Lk, Lk, B)[3] // 4
+        Kk4 = pallas_dp.geometry(Lc, Lk, B)[1] // 4
+        lens_c = bucket_c[:, -1]
+        lens_k = bucket_k[:, -1]
+        bucket_c = bucket_c[:, :Wc4]
+        bucket_k = bucket_k[:, Wk4 : Wk4 + Kk4]
 
     def body(t0):
         if use_pallas and pallas_dp.supports(Lc, Lk):
@@ -235,18 +258,19 @@ def _map1(body, xs):
     jax.jit,
     static_argnames=(
         "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "small",
-        "int16_ok", "interpret",
+        "int16_ok", "packed", "interpret",
     ),
 )
 def _score_stack(
-    bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
+    bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
     *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
-    interpret=False,
+    packed=False, interpret=False,
 ):
     return _stack_body(
-        bucket_c, bucket_k, lens_c, lens_k, starts, npairs, sub_p, gaps,
+        bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
         algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
-        same=same, small=small, int16_ok=int16_ok, interpret=interpret,
+        same=same, small=small, int16_ok=int16_ok, packed=packed,
+        interpret=interpret,
     )
 
 
@@ -254,7 +278,7 @@ def _score_stack(
 def _sharded_scorer(
     mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
     use_pallas: bool, same: bool, small: bool, int16_ok: bool,
-    interpret: bool = False,
+    packed: bool = False, interpret: bool = False,
 ):
     """SPMD scorer over a >1-device mesh: each superblock is split on the
     pair axis with shard_map — sequences/LUT replicated, zero collectives
@@ -262,20 +286,20 @@ def _sharded_scorer(
     structure, SURVEY.md §2.7).  Explicit shard_map (rather than GSPMD
     inference) is what lets the Pallas kernel run per-device on pods."""
 
-    def body(bucket_c, bucket_k, lens_c, lens_k, starts, npairs,
-             sub_p, gaps):
+    def body(bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps):
         off = jax.lax.axis_index("pairs").astype(jnp.int64) * Wloc
         return _stack_body(
-            bucket_c, bucket_k, lens_c, lens_k, starts, npairs,
+            bucket_c, bucket_k, lens_c, lens_k, starts,
             sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
             use_pallas=use_pallas, same=same, small=small,
-            int16_ok=int16_ok, shard_offset=off, interpret=interpret,
+            int16_ok=int16_ok, packed=packed, shard_offset=off,
+            interpret=interpret,
         )
 
     rep = P()
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(rep,) * 8,
+        in_specs=(rep,) * 7,
         out_specs=P(None, "pairs"),
         check_vma=False,
     )
@@ -372,14 +396,25 @@ class Engine:
         return jax.device_put(arr, self._rep)
 
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
-        """Per-bucket device-resident data: int8 LUT-index matrices
-        (pad = PAD), true lengths, and — for buckets the inline Pallas
-        kernel can serve — the pre-packed code-word forms (c-side, k-side)
-        of pallas_dp.pack_bucket_words."""
+        """Per-bucket device-resident data.
+
+        Packed mode (every bucket servable by the inline Pallas kernel):
+        ONE combined int32 upload per bucket — [c-form words | k-form words
+        | true length] — instead of four (codes, lengths, two word forms);
+        the combo loop then needs one put per dispatch group and nothing
+        else, which matters on tunneled hosts where each put is a round
+        trip.  Returns (None, None, None, combined).
+
+        Otherwise (CPU/XLA engine, |score| > int8, or an edge beyond
+        W_MAX): raw code matrices + lengths (+ word forms where available),
+        combined = None."""
         from .io import native
 
         lut = ss.lut
-        arrays, lens, packs = [], [], []
+        all_packed = self.use_pallas and all(
+            pallas_dp.supports(b.edge, b.edge) for b in sched.buckets
+        )
+        arrays, lens, packs, combined = [], [], [], []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
             mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
@@ -388,21 +423,25 @@ class Engine:
                 for local, orig in enumerate(rows):
                     s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
                     mat[local, : len(s)] = lut[s]
-            arrays.append(self._put_rep(mat))
-            lens.append(
-                self._put_rep(
-                    sched.lengths_sorted[b.start : b.end].astype(np.int32)
-                )
-            )
+            blens = sched.lengths_sorted[b.start : b.end].astype(np.int32)
             pk = (
                 pallas_dp.pack_bucket_words(mat, b.edge)
                 if self.use_pallas else None
             )
+            if all_packed:
+                comb = np.hstack([pk[0], pk[1], blens[:, None]])
+                combined.append(self._put_rep(comb))
+                arrays.append(None)
+                lens.append(None)
+                packs.append(None)
+                continue
+            arrays.append(self._put_rep(mat))
+            lens.append(self._put_rep(blens))
             packs.append(
                 (self._put_rep(pk[0]), self._put_rep(pk[1]))
                 if pk is not None else None
             )
-        return arrays, lens, packs
+        return arrays, lens, packs, (combined if all_packed else None)
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
@@ -444,28 +483,29 @@ class Engine:
         (ops/pallas_dp.py inline mode), so each segment is a single dispatch
         whose working set is just the code tensors — all in-jit temporaries,
         no HBM stream pacing needed."""
-        (bc, bk, lens_c, lens_k, npairs_dev, sub_dev, gaps_dev,
-         Lc, Lk, B, W, same, small) = ctx
+        (bc, bk, lens_c, lens_k, npairs, sub_dev, gaps_dev,
+         Lc, Lk, B, W, same, small, packed) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
         off = 0
         while off < len(blks):
             seg = 1 << (len(blks) - off).bit_length() - 1
             part = blks[off : off + seg]
             off += seg
-            starts = self._put_i64([x.start for _, x in part])
-            args = (bc, bk, lens_c, lens_k, starts, npairs_dev,
-                    sub_dev, gaps_dev)
+            # One transfer per dispatch: [npairs, start ids...].
+            starts = self._put_i64([npairs] + [x.start for _, x in part])
+            args = (bc, bk, lens_c, lens_k, starts, sub_dev, gaps_dev)
             if self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
-                    self.use_pallas, same, small, int16_ok,
+                    self.use_pallas, same, small, int16_ok, packed,
                     self.pallas_interpret,
                 )(*args)
             else:
                 dev = _score_stack(
                     *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
                     use_pallas=self.use_pallas, same=same, small=small,
-                    int16_ok=int16_ok, interpret=self.pallas_interpret,
+                    int16_ok=int16_ok, packed=packed,
+                    interpret=self.pallas_interpret,
                 )
             with self._plock:
                 flat = dev.reshape(-1)
@@ -523,7 +563,9 @@ class Engine:
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        buckets_dev, lens_dev, packs_dev = self._bucket_arrays(ss, sched)
+        buckets_dev, lens_dev, packs_dev, combined_dev = self._bucket_arrays(
+            ss, sched
+        )
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
 
@@ -741,18 +783,26 @@ class Engine:
                     "Schedule.build (which splits oversized buckets)"
                 )
             small = _int32_ids_ok(npairs, a == b, sched.buckets[a].count)
-            npairs_dev = self._put_i64(npairs)
-            if (self.use_pallas and pallas_dp.supports(Lc, Lk)
+            packed = combined_dev is not None
+            if packed:
+                # Packed mode: everything the dispatch needs about a bucket
+                # rides its one combined array (code words + lengths,
+                # sliced statically in-jit) — see _bucket_arrays.
+                arr_c, arr_k = combined_dev[b], combined_dev[a]
+                lc = lk = None
+            elif (self.use_pallas and pallas_dp.supports(Lc, Lk)
                     and packs_dev[b] is not None and packs_dev[a] is not None):
                 # Inline Pallas combo: ship the pre-packed word forms
                 # (c-side of bucket b, k-side of bucket a) instead of the
                 # raw code matrices — see _stack_body.
                 arr_c, arr_k = packs_dev[b][0], packs_dev[a][1]
+                lc, lk = lens_dev[b], lens_dev[a]
             else:
                 arr_c, arr_k = buckets_dev[b], buckets_dev[a]
+                lc, lk = lens_dev[b], lens_dev[a]
             base_ctx = (
-                arr_c, arr_k, lens_dev[b], lens_dev[a],
-                npairs_dev, sub_dev, gaps_dev, Lc, Lk, B,
+                arr_c, arr_k, lc, lk,
+                npairs, sub_dev, gaps_dev, Lc, Lk, B,
             )
             same = a == b
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
@@ -766,7 +816,7 @@ class Engine:
                 nonlocal blks
                 if blks:
                     self._dispatch(
-                        blks, base_ctx + (cur_w, same, small), pending
+                        blks, base_ctx + (cur_w, same, small, packed), pending
                     )
                     blks = []
 
