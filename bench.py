@@ -7,11 +7,14 @@ alignment path (BASELINE.md north star), measured on the default device
 BASELINE.json config #3 shape: Gotoh affine, BLOSUM62, ~1k short protein
 sequences all-vs-all.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and its C23
-source cannot be built in this image (gcc 12, no HDF5 headers), so the
-denominator is the measured throughput of bench_baseline_c (our faithful
-reimplementation of the reference's OpenMP CPU path, same recurrences,
-compiled -O3 -march=native) when available, else a nominal 1.0 GCUPS.
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is measured here: the throughput of bench_baseline_c (our
+faithful reimplementation of the reference's OpenMP CPU path, same
+recurrences, compiled -O3 -march=native) when available, else a nominal
+1.0 GCUPS.  Round 3 also built and measured the ACTUAL reference binary
+(scripts/build_reference.sh; BASELINE.md round-3 table): its GA rate on
+this host (0.25-0.30 GCUPS/core) matches the reimplementation within
+noise, so the denominator is representative of the real thing.
 """
 
 import json
