@@ -73,6 +73,12 @@ def main(d):
                      rng.integers(n // 500, n // 100 + 2, 6))]
         picks += [(int(i), int(j)) for i, j in
                   zip(rng.integers(n // 2, n - 1, 6), rng.integers(0, n, 6))]
+        # Length-asymmetric pairs: shortest x longest deciles cross BUCKET
+        # combos with different band geometries — the class that exposed the
+        # round-3 cross-band packing bug (a symmetric random sample has few).
+        order = np.argsort([len(s) for s in seqs])
+        lo, hi = order[: max(4, n // 10)], order[-max(4, n // 10):]
+        picks += [(int(rng.choice(lo)), int(rng.choice(hi))) for _ in range(8)]
         for i, j in [(min(i, j), max(i, j)) for i, j in picks if i != j]:
             want = gotoh(seqs[i], seqs[j])
             got, gotT = int(M[i, j]), int(M[j, i])
