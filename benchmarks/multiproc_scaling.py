@@ -68,7 +68,7 @@ def measure_merge(npairs: int = 4_000_000) -> float:
             i = rng.integers(0, 1 << 40, n).astype(np.int64)
             j = i + 1
             s = rng.integers(-1000, 1000, n).astype(np.int32)
-            merger(i[:1000], j[:1000], s[:1000])  # warm the collective
+            merger(i, j, s)  # warm the collective AT THE MEASURED SHAPE
             t0 = time.perf_counter()
             oi, oj, os_ = merger(i, j, s)
             dt = time.perf_counter() - t0

@@ -60,11 +60,12 @@ def default_gather():
     return multihost_utils.process_allgather
 
 
-#: Quantum (int32 words) the packed payload is padded to: the underlying
-#: collective compiles per shape, so quantizing to powers of two bounds a
-#: whole run's compile set to O(log max-flush) executables instead of one
-#: per flush.
-PAD_QUANTUM = 1 << 16
+#: Quantum (int32 words, 4 MiB) the packed payload is padded to: the
+#: underlying collective compiles per shape, so quantizing bounds a whole
+#: run's compile set to ~max-flush/4MiB executables instead of one per
+#: flush, at <= one quantum of padding (a power-of-two scheme measured up
+#: to 67% padded bytes at large flushes).
+PAD_QUANTUM = 1 << 20
 
 
 def pack_triplets(i, j, s, cap: int) -> np.ndarray:
@@ -106,7 +107,7 @@ class TripletMerger:
         words = np.asarray([5 * len(s)], dtype=np.int64)
         sizes = np.asarray(gather(words)).reshape(-1)
         m = int(sizes.max())
-        cap = PAD_QUANTUM if m <= PAD_QUANTUM else 1 << int(m - 1).bit_length()
+        cap = max(PAD_QUANTUM, -(-m // PAD_QUANTUM) * PAD_QUANTUM)
         g = np.asarray(gather(pack_triplets(i, j, s, cap)))  # (nhosts, cap)
         ii, jj, ss = [], [], []
         for h in range(len(sizes)):
