@@ -208,3 +208,41 @@ def test_journal_rejects_mid_file_corruption(tmp_path):
     p.write_text("\n".join(lines) + "\n")
     with pytest.raises(ckpt.CheckpointError):
         ckpt.Journal(p, _header(ss))
+
+
+def test_sync_interval_batches_commits(tmp_path, monkeypatch):
+    """Journal commits are batched to sync points (engine.SYNC_INTERVAL):
+    with a large interval a multi-flush run writes ONE commit line (the
+    final drain); with interval 0 (legacy) every flush commits.  Both must
+    journal every block and produce identical stores."""
+    import sequencealigner_tpu.engine as eng_mod
+
+    rng = np.random.default_rng(5)
+    ss = _random_set(rng, 30)
+    total = ss.num * (ss.num - 1) // 2
+    eng = Engine("ga", M.matrix, (0, -10, -1), device_kind="cpu",
+                 target_cells=1 << 10)
+    monkeypatch.setattr(eng_mod, "FLUSH_PAIRS", 64)  # force many flushes
+
+    def run(interval, tag):
+        import json
+
+        monkeypatch.setattr(eng_mod, "SYNC_INTERVAL", interval)
+        jpath = tmp_path / f"j_{tag}"
+        store = OutputStore(ss.num, triangular=True, spill=False,
+                            persist_path=tmp_path / f"s_{tag}")
+        j = ckpt.Journal(jpath, _header(ss))
+        eng.align_all(ss, store, progress=False, journal=j)
+        j.close()
+        lines = jpath.read_text().splitlines()
+        done = sum(len(json.loads(l)) for l in lines[1:])
+        assert done >= 1 and done == len(set(
+            x for l in lines[1:] for x in json.loads(l)
+        ))
+        return len(lines) - 1, np.asarray(store.matrix).copy()
+
+    n_batched, m1 = run(1e9, "batched")
+    n_legacy, m2 = run(0.0, "legacy")
+    assert n_batched == 1  # everything committed at the final drain
+    assert n_legacy > 1  # per-flush commits
+    np.testing.assert_array_equal(m1, m2)
