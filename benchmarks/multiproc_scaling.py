@@ -77,7 +77,7 @@ def measure_merge(npairs: int = 4_000_000) -> float:
                 print(json.dumps(dict(merge_seconds=dt, pairs_exchanged=2*n)))
         """))
         env = dict(os.environ)
-        env.pop("PYTHONPATH", None)
+        env["PYTHONPATH"] = str(REPO)  # worker scripts live in tmp; the package does not
         procs = [
             subprocess.Popen([sys.executable, str(worker), str(k)],
                              cwd=str(REPO), env=env,

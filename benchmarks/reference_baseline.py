@@ -64,7 +64,9 @@ def write_csv(path, seqs):
             f.write(b"%d,%s\n" % (k, bytes(s)))
 
 
-def run_ref(exe, inp, algo, matrix, gaps, filt, out):
+def run_ref(exe, inp, algo, matrix, gaps, filt):
+    # -W (no write) is always passed: only -B timings matter here, so there
+    # is no output path to forward.
     cmd = [str(exe), "-i", str(inp), "-m", matrix, "-a", algo, "-F", "-B",
            "-W", "-P"]
     if gaps[0]:
@@ -81,7 +83,7 @@ def run_ref(exe, inp, algo, matrix, gaps, filt, out):
     return align_s, pairs, (float(filt_m.group(1)) if filt_m else 0.0)
 
 
-def cells_of(seqs, pairs, n_after, filt_threshold):
+def cells_of(seqs, pairs, filt_threshold):
     """Sum of l1*l2 over the aligned pair space."""
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     if filt_threshold:
@@ -133,9 +135,9 @@ def main():
             best, pairs, filt_s = None, 0, 0.0
             for _ in range(args.repeat):
                 a_s, pairs, filt_s = run_ref(exe, inp, algo, matrix, gaps,
-                                             filt, td / "o.h5")
+                                             filt)
                 best = a_s if best is None or a_s < best else best
-            cells = cells_of(seqs, pairs, n, filt)
+            cells = cells_of(seqs, pairs, filt)
             print(json.dumps({
                 "config": name, "algo": algo, "n": n, "pairs": pairs,
                 "align_seconds": best, "filter_seconds": filt_s,

@@ -40,9 +40,15 @@ typedef int H5F_libver_t;
 /* Capture state (single-threaded writer in the reference). */
 static char h5stub_path[4096];
 static FILE *h5stub_file;
-static hsize_t h5stub_dims[8][4];   /* dataspace id -> dims (rank <= 2) */
+/* The reference's triangular path creates one mem dataspace per row chunk
+ * (hdf5.c:171), so ids keep growing; 64 slots (vs the datasets' handful)
+ * keeps the masked indexing from aliasing in-use spaces for any realistic
+ * chunk count, and the matrix dims are additionally PINNED at H5Dcreate
+ * time (h5stub_mat_dims) so H5Dwrite never depends on the shared table. */
+static hsize_t h5stub_dims[64][4];  /* dataspace id -> dims (rank <= 2) */
 static int h5stub_nspaces;
 static int h5stub_mat_space = -1;   /* dataspace of the i32 matrix dataset */
+static hsize_t h5stub_mat_dims[4];  /* matrix dims, pinned at create time */
 static int h5stub_dset_space[8];    /* dataset id -> its dataspace */
 static int h5stub_ndsets;
 static hsize_t h5stub_sel_start[4], h5stub_sel_count[4]; /* last hyperslab */
@@ -70,8 +76,8 @@ static inline herr_t H5Fclose(hid_t f) {
 static inline hid_t H5Screate_simple(int r, const hsize_t *d, const hsize_t *m) {
     (void)m;
     int id = h5stub_nspaces++;
-    for (int k = 0; k < r && k < 4; k++) h5stub_dims[id & 7][k] = d[k];
-    for (int k = r; k < 4; k++) h5stub_dims[id & 7][k] = 1;
+    for (int k = 0; k < r && k < 4; k++) h5stub_dims[id & 63][k] = d[k];
+    for (int k = r; k < 4; k++) h5stub_dims[id & 63][k] = 1;
     return 16 + id;
 }
 static inline herr_t H5Sclose(hid_t s) { (void)s; return 0; }
@@ -83,8 +89,13 @@ static inline hid_t H5Dcreate2(hid_t f, const char *n, hid_t t, hid_t s, hid_t l
     (void)f; (void)l; (void)c; (void)a;
     int id = h5stub_ndsets++;
     h5stub_dset_space[id & 7] = (int)(s - 16);
-    /* the matrix dataset is the int32 one */
-    if (t == H5T_STD_I32LE && strstr(n, "matrix")) h5stub_mat_space = (int)(s - 16);
+    /* the matrix dataset is the int32 one; pin its dims NOW (the shared
+     * dims table slot may be reused by later mem dataspaces) */
+    if (t == H5T_STD_I32LE && strstr(n, "matrix")) {
+        h5stub_mat_space = (int)(s - 16);
+        for (int k = 0; k < 4; k++)
+            h5stub_mat_dims[k] = h5stub_dims[(s - 16) & 63][k];
+    }
     return 32 + id;
 }
 #define H5Dcreate H5Dcreate2
@@ -102,7 +113,7 @@ static inline herr_t H5Dwrite(hid_t d, hid_t t, hid_t ms, hid_t fs, hid_t x, con
     if (!h5stub_file) return 0;
     int sp = (d - 32) >= 0 && (d - 32) < 8 ? h5stub_dset_space[(d - 32) & 7] : -1;
     if (t != H5T_STD_I32LE || sp != h5stub_mat_space || sp < 0) return 0; /* skip /sequences */
-    hsize_t cols = h5stub_dims[sp & 7][1];
+    hsize_t cols = h5stub_mat_dims[1];
     if (fs != H5S_ALL && h5stub_sel_active) {
         /* triangular conversion path: row-window at (start[0], 0) */
         long off = (long)(h5stub_sel_start[0] * cols * sizeof(int32_t));
@@ -110,7 +121,7 @@ static inline herr_t H5Dwrite(hid_t d, hid_t t, hid_t ms, hid_t fs, hid_t x, con
         fwrite(buf, sizeof(int32_t), (size_t)(h5stub_sel_count[0] * cols), h5stub_file);
         h5stub_sel_active = 0;
     } else {
-        hsize_t rows = h5stub_dims[sp & 7][0];
+        hsize_t rows = h5stub_mat_dims[0];
         fseek(h5stub_file, 0, SEEK_SET);
         fwrite(buf, sizeof(int32_t), (size_t)(rows * cols), h5stub_file);
     }

@@ -79,16 +79,20 @@ CHUNK_BYTES = 2 << 20
 #: Default band height (int8 sublane tile).  See band_kb.
 KB = 32
 
+#: Largest band height band_kb may return; geometry()'s VMEM chunk budget is
+#: computed for this height, so the two must stay in lockstep.
+KB_MAX = 64
+
 
 def band_kb(Lk: int) -> int:
-    """Band height for a given row count: 64 whenever that does not inflate
-    Kpad beyond the 32-band rounding (Lk in (64k-32, 64k]) — doubling the
-    band halves the per-cell share of the per-column fixed costs (prev-stream
-    I/O, the profile lane gather, the prefix scan's log term); everywhere
-    else (Lk <= 32 or a 33..32-overhang edge like 96/160) stay at 32 so
-    padded cells don't grow."""
-    if Lk > 32 and round_up(Lk, 64) == round_up(Lk, 32):
-        return 64
+    """Band height for a given row count: KB_MAX (64) whenever that does not
+    inflate Kpad beyond the 32-band rounding (Lk in (64k-32, 64k]) — doubling
+    the band halves the per-cell share of the per-column fixed costs
+    (prev-stream I/O, the profile lane gather, the prefix scan's log term);
+    everywhere else (Lk <= 32 or a 33..32-overhang edge like 96/160) stay at
+    32 so padded cells don't grow."""
+    if Lk > 32 and round_up(Lk, KB_MAX) == round_up(Lk, 32):
+        return KB_MAX
     return 32
 
 #: Longest padded column count the inline kernel accepts: the band-crossing
@@ -116,9 +120,10 @@ def geometry(Lc: int, Lk: int, B: int) -> tuple[int, int, int, int]:
     against a 64-band-packed 320 bucket measured silently wrong scores
     before this was pinned)."""
     kb = band_kb(Lk)
+    assert kb <= KB_MAX, (kb, Lk)  # the chunk budget below assumes KB_MAX
     nb = -(-Lk // kb)
     Kpad = nb * kb
-    cap = max(8, CHUNK_BYTES // (64 * B) // 8 * 8)
+    cap = max(8, CHUNK_BYTES // (KB_MAX * B) // 8 * 8)
     wmin = round_up(Lc, 8)
     if cap >= wmin:
         CD = wmin

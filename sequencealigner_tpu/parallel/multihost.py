@@ -107,6 +107,13 @@ class TripletMerger:
         words = np.asarray([5 * len(s)], dtype=np.int64)
         sizes = np.asarray(gather(words)).reshape(-1)
         m = int(sizes.max())
+        if m == 0:
+            # Every host is empty at this flush point (common in striped runs:
+            # the engine flushes on a global cadence whether or not this host
+            # owned blocks since the last one) — skip the >= 4 MiB-per-host
+            # padded payload gather entirely; the word-count exchange above
+            # already kept the collective aligned.
+            return i, j, s
         cap = max(PAD_QUANTUM, -(-m // PAD_QUANTUM) * PAD_QUANTUM)
         g = np.asarray(gather(pack_triplets(i, j, s, cap)))  # (nhosts, cap)
         ii, jj, ss = [], [], []

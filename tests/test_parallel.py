@@ -185,7 +185,7 @@ def test_two_process_distributed_merge(tmp_path):
                 np.asarray(store.matrix).reshape(ss.num, ss.num))
     """))
     env = dict(os.environ)
-    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = str(REPO_ROOT)  # worker scripts live in tmp; the package does not
     procs = [
         subprocess.Popen([sys.executable, str(worker), str(i)],
                          cwd=str(REPO_ROOT), env=env,
