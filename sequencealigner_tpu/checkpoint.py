@@ -33,6 +33,7 @@ def config_fingerprint(
     *, algo: str, gaps: tuple[int, int, int], matrix: str,
     num_seqs: int, lengths: np.ndarray, triangular: bool,
     data: np.ndarray | bytes | None = None,
+    schedule: str = "linear-v1",
 ) -> dict:
     h = hashlib.sha256(np.asarray(lengths, np.int64).tobytes()).hexdigest()[:16]
     fp = {
@@ -42,6 +43,11 @@ def config_fingerprint(
         "num_seqs": int(num_seqs),
         "lengths_sha": h,
         "triangular": bool(triangular),
+        # Journals record GLOBAL BLOCK INDICES, which only mean the same
+        # pairs under the same block-schedule geometry (linear superblocks
+        # vs outer-product tiles) — resuming across engines that schedule
+        # differently must be rejected (Engine.schedule_token).
+        "schedule": schedule,
     }
     if data is not None:
         # Digest of the actual sequence BYTES, not just lengths: resuming

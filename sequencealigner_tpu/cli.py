@@ -452,28 +452,6 @@ def run(argv: list[str] | None = None) -> int:
 
             perm = np.argsort(ss.lengths, kind="stable")
             store = OutputStore.plan(ss.num, persist_path=persist, perm=perm)
-        if cfg.checkpoint:
-            from . import checkpoint as ckpt
-
-            header = ckpt.config_fingerprint(
-                algo=cfg.algo,
-                gaps=(cfg.gap_pen, cfg.gap_opn, cfg.gap_ext),
-                matrix=cfg.matrix.name, num_seqs=ss.num,
-                lengths=ss.lengths, triangular=store.triangular,
-                data=ss.data,
-            )
-            try:
-                journal = ckpt.Journal(
-                    cfg.checkpoint + (f".h{host_id}" if nhosts > 1 else ""),
-                    header,
-                )
-            except ckpt.CheckpointError as e:
-                ui.perr(str(e))
-                return 1
-            if journal.done:
-                ui.pinfo("Resuming: %d pair blocks already complete",
-                         len(journal.done))
-
     ui.psection("Performing Alignments")
     if not cfg.no_device:
         # TPU-or-prompt, the fallback semantics of cuda_device_init
@@ -491,6 +469,29 @@ def run(argv: list[str] | None = None) -> int:
         cfg.algo, cfg.matrix.matrix, gaps,
         device_kind="cpu" if cfg.no_device else "auto",
     )
+    if cfg.checkpoint and store is not None:
+        # Journal creation needs the ENGINE (the fingerprint binds the
+        # block-schedule geometry — see checkpoint.config_fingerprint).
+        from . import checkpoint as ckpt
+
+        header = ckpt.config_fingerprint(
+            algo=cfg.algo, gaps=gaps,
+            matrix=cfg.matrix.name, num_seqs=ss.num,
+            lengths=ss.lengths, triangular=store.triangular,
+            data=ss.data,
+            schedule=engine.schedule_token(ss.lengths),
+        )
+        try:
+            journal = ckpt.Journal(
+                cfg.checkpoint + (f".h{host_id}" if nhosts > 1 else ""),
+                header,
+            )
+        except ckpt.CheckpointError as e:
+            ui.perr(str(e))
+            return 1
+        if journal.done:
+            ui.pinfo("Resuming: %d pair blocks already complete",
+                     len(journal.done))
     if cfg.trace_dir:
         import jax
 

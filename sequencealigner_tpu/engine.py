@@ -256,6 +256,53 @@ def _map1(body, xs):
 
 @partial(
     jax.jit,
+    static_argnames=("algo", "Lc", "Lk", "int16_ok", "interpret"),
+)
+def _score_tiles(
+    desc, cwords, kmatT, klens, sub_p, gaps,
+    *, algo, Lc, Lk, int16_ok, interpret=False,
+):
+    """Score one outer-product tile group (pallas_dp.align_outer): the only
+    per-dispatch transfer is the (T, 2) int32 descriptor array."""
+    out = pallas_dp.align_outer(
+        desc, cwords, kmatT, klens, sub_p, gaps,
+        algo=algo, Lc=Lc, Lk=Lk, interpret=interpret,
+    )
+    if int16_ok:
+        out = out.astype(jnp.int16)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_tile_scorer(
+    mesh, algo: str, Lc: int, Lk: int, int16_ok: bool, interpret: bool,
+):
+    """SPMD outer-tile scorer: tiles (descriptor rows) split over the pair
+    axis, bucket arrays + LUT replicated, zero collectives — the same data
+    parallelism over the pair space as _sharded_scorer, with the descriptor
+    array as the only sharded operand."""
+
+    def body(desc, cwords, kmatT, klens, sub_p, gaps):
+        out = pallas_dp.align_outer(
+            desc, cwords, kmatT, klens, sub_p, gaps,
+            algo=algo, Lc=Lc, Lk=Lk, interpret=interpret,
+        )
+        if int16_ok:
+            out = out.astype(jnp.int16)
+        return out
+
+    rep = P()
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("pairs"), rep, rep, rep, rep, rep),
+        out_specs=P("pairs"),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "small",
         "int16_ok", "packed", "interpret",
@@ -360,6 +407,13 @@ class Engine:
         # interpreter — the way virtual-mesh (CPU) tests exercise the
         # kernel+shard_map interaction without TPU hardware.
         self.pallas_interpret = pallas_interpret
+        # Outer-product tile schedule (pallas_dp.align_outer): the default
+        # Pallas path; SEQALIGN_TPU_OUTER=0 falls back to the per-pair
+        # packed-word schedule for A/B comparison.
+        self.outer = os.environ.get("SEQALIGN_TPU_OUTER", "1") != "0"
+        from . import scheduler as _sched_mod
+        assert _sched_mod.TILE_S == pallas_dp.S_TILE
+        assert _sched_mod.TILE_B == pallas_dp.LANE
         self.sub_p = padded_submatrix(sub)
         self.gaps = np.asarray(gaps, dtype=np.int32)
         self.target_cells = target_cells
@@ -378,6 +432,18 @@ class Engine:
         except Exception:
             ver = ""
         self._poll_ok = "axon" not in ver
+
+    def schedule_token(self, lengths) -> str:
+        """Identifier of the block-schedule geometry this engine will use
+        for ``lengths`` — bound into checkpoint fingerprints, because journal
+        entries are global block indices and only mean the same pairs under
+        the same schedule (outer-product tiles vs linear superblocks)."""
+        sched = Schedule.build(np.asarray(lengths))
+        if self.use_pallas and self.outer and all(
+            pallas_dp.supports(b.edge, b.edge) for b in sched.buckets
+        ):
+            return "tiles-v1"
+        return "linear-v1"
 
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
@@ -398,23 +464,27 @@ class Engine:
     def _bucket_arrays(self, ss: SequenceSet, sched: Schedule):
         """Per-bucket device-resident data.
 
-        Packed mode (every bucket servable by the inline Pallas kernel):
-        ONE combined int32 upload per bucket — [c-form words | k-form words
-        | true length] — instead of four (codes, lengths, two word forms);
-        the combo loop then needs one put per dispatch group and nothing
-        else, which matters on tunneled hosts where each put is a round
-        trip.  Returns (None, None, None, combined).
+        Outer mode (the default on TPU when every bucket fits the Pallas
+        kernel): three uploads per bucket — packed c-row code words, the
+        TRANSPOSED code matrix (contiguous k-lane windows), and lane
+        lengths (pallas_dp.pack_bucket_outer); dispatches then ship only a
+        tiny tile-descriptor array.  Returns (None, None, None, None,
+        outer) where outer[i] = (cwords, kmatT, klens, dummy_c0).
 
-        Otherwise (CPU/XLA engine, |score| > int8, or an edge beyond
-        W_MAX): raw code matrices + lengths (+ word forms where available),
-        combined = None."""
+        Packed mode (outer disabled via SEQALIGN_TPU_OUTER=0): ONE combined
+        int32 upload per bucket — [c-form words | k-form words | true
+        length].  Otherwise (CPU/XLA engine, |score| > int8, or an edge
+        beyond W_MAX): raw code matrices + lengths (+ word forms where
+        available)."""
         from .io import native
 
         lut = ss.lut
-        all_packed = self.use_pallas and all(
+        all_supported = self.use_pallas and all(
             pallas_dp.supports(b.edge, b.edge) for b in sched.buckets
         )
-        arrays, lens, packs, combined = [], [], [], []
+        all_outer = all_supported and self.outer
+        all_packed = all_supported and not self.outer
+        arrays, lens, packs, combined, outer = [], [], [], [], []
         for b in sched.buckets:
             rows = sched.order[b.start : b.end]
             mat = native.pack_rows(ss.data, ss.offsets, rows, b.edge, lut, PAD)
@@ -424,6 +494,16 @@ class Engine:
                     s = ss.data[ss.offsets[orig] : ss.offsets[orig + 1]]
                     mat[local, : len(s)] = lut[s]
             blens = sched.lengths_sorted[b.start : b.end].astype(np.int32)
+            if all_outer:
+                cw, kT, kl = pallas_dp.pack_bucket_outer(mat, blens, b.edge)
+                outer.append((
+                    self._put_rep(cw), self._put_rep(kT), self._put_rep(kl),
+                    cw.shape[0] - pallas_dp.S_TILE,  # all-pad dummy tile row
+                ))
+                arrays.append(None)
+                lens.append(None)
+                packs.append(None)
+                continue
             pk = (
                 pallas_dp.pack_bucket_words(mat, b.edge)
                 if self.use_pallas else None
@@ -441,7 +521,11 @@ class Engine:
                 (self._put_rep(pk[0]), self._put_rep(pk[1]))
                 if pk is not None else None
             )
-        return arrays, lens, packs, (combined if all_packed else None)
+        return (
+            arrays, lens, packs,
+            (combined if all_packed else None),
+            (outer if all_outer else None),
+        )
 
     def _superblock_width(self, Lc: int, Lk: int, npairs: int) -> int:
         if self.use_pallas and pallas_dp.supports(Lc, Lk):
@@ -522,6 +606,48 @@ class Engine:
                     pass
                 pending.append([flat, part, False])
 
+    def _dispatch_tiles(self, blks, ctx, pending) -> None:
+        """Outer-mode dispatch: one (T, 2) int32 descriptor put per
+        power-of-two tile group (lax-free: the group IS the kernel grid's
+        leading dimension).  Short tails are padded with dummy descriptors
+        pointing at the bucket's all-pad tile (length-0 rows score 0 and own
+        no valid pairs), which also keeps T a multiple of the mesh size."""
+        (cw, km, kl, sub_dev, gaps_dev, Lc, Lk, dummy_c0) = ctx
+        int16_ok = self._int16_ok(Lc, Lk)
+        off = 0
+        while off < len(blks):
+            seg = 1 << (len(blks) - off).bit_length() - 1
+            part = blks[off : off + seg]
+            off += seg
+            T = max(seg, self.ndev)
+            T = -(-T // self.ndev) * self.ndev  # non-power-of-two meshes
+            desc = np.zeros((T, 2), np.int32)
+            desc[:, 0] = dummy_c0
+            for r, (_, blk) in enumerate(part):
+                desc[r, 0], desc[r, 1] = blk.desc
+            if self.ndev > 1:
+                ddev = jax.device_put(
+                    desc, NamedSharding(self.mesh, P("pairs", None))
+                )
+                dev = _sharded_tile_scorer(
+                    self.mesh, self.algo, Lc, Lk, int16_ok,
+                    self.pallas_interpret,
+                )(ddev, cw, km, kl, sub_dev, gaps_dev)
+            else:
+                ddev = self._put_rep(desc)
+                dev = _score_tiles(
+                    ddev, cw, km, kl, sub_dev, gaps_dev,
+                    algo=self.algo, Lc=Lc, Lk=Lk, int16_ok=int16_ok,
+                    interpret=self.pallas_interpret,
+                )
+            with self._plock:
+                flat = dev.reshape(-1)
+                try:
+                    flat.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append([flat, part, False])
+
     def align_all(
         self,
         ss: SequenceSet,
@@ -563,9 +689,8 @@ class Engine:
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        buckets_dev, lens_dev, packs_dev, combined_dev = self._bucket_arrays(
-            ss, sched
-        )
+        (buckets_dev, lens_dev, packs_dev, combined_dev,
+         outer_dev) = self._bucket_arrays(ss, sched)
         sub_dev = self._put_rep(self.sub_p)
         gaps_dev = self._put_rep(self.gaps)
 
@@ -621,7 +746,7 @@ class Engine:
                     oi, oj, cells = blk.pairs()
                     ii.append(oi)
                     jj.append(oj)
-                    sc.append(scores[: blk.n_valid].astype(np.int32))
+                    sc.append(blk.select_valid(scores).astype(np.int32))
                     committed.append(gidx)
                     stats.pairs += blk.n_valid
                     stats.cells += cells
@@ -770,6 +895,66 @@ class Engine:
                 continue
             Lk = sched.buckets[a].edge
             Lc = sched.buckets[b].edge
+            use_outer = outer_dev is not None and pallas_dp.supports(Lc, Lk)
+            if use_outer:
+                # Outer-product tile schedule: no per-pair ids, no width
+                # stacking — tiles dispatch in power-of-two descriptor
+                # groups (_dispatch_tiles).
+                tile_ctx = (
+                    outer_dev[b][0], outer_dev[a][1], outer_dev[a][2],
+                    sub_dev, gaps_dev, Lc, Lk, outer_dev[b][3],
+                )
+                T_group = max(self.ndev, pallas_dp.pick_T(Lc, Lk))
+                blks = []
+
+                def dispatch_tiles_group():
+                    nonlocal blks
+                    if blks:
+                        self._dispatch_tiles(blks, tile_ctx, pending)
+                        blks = []
+
+                def take_tile(blk):
+                    nonlocal gidx
+                    idx = gidx
+                    gidx += 1
+                    if idx % nhosts != host_id:
+                        if bar:
+                            bar.add(blk.n_valid)
+                        return blk.width
+                    if journal is not None and idx in journal.done:
+                        stats.pairs_resumed += blk.n_valid
+                        if merger is not None and store is not None:
+                            v = blk.valid
+                            resumed_triplets.append((
+                                blk.orig_i[v], blk.orig_j[v],
+                                store.read_pairs(blk.orig_i[v], blk.orig_j[v]),
+                            ))
+                        if bar:
+                            bar.add(blk.n_valid)
+                        return blk.width
+                    blks.append((idx, blk))
+                    return blk.width
+
+                for blk in sched.tiles(a, b):
+                    inflight += take_tile(blk)
+                    scheduled += blk.n_valid
+                    if limit_pairs is not None and scheduled >= limit_pairs:
+                        break
+                    if len(blks) >= T_group:
+                        dispatch_tiles_group()
+                    if inflight >= FLUSH_PAIRS:
+                        dispatch_tiles_group()
+                        flush()
+                    elif merger is None and pending and not flusher:
+                        # Eager overlap: the flusher is idle and dispatches
+                        # are in flight — start fetching now so only the
+                        # LAST dispatch's D2H wait lands after the loop
+                        # (the fetch tail dominates short runs; the
+                        # reference hides it with its second CUDA stream,
+                        # src/interface/seqalign_cuda.c:267-273).
+                        flush()
+                dispatch_tiles_group()
+                continue
             width, B = self._superblock_width(Lc, Lk, npairs)
             # Closed-form triangle inversion is exact to ~16M bucket rows;
             # Schedule.build splits larger buckets (scheduler.BUCKET_ROWS_MAX)
@@ -858,6 +1043,8 @@ class Engine:
                 if inflight >= FLUSH_PAIRS:
                     dispatch_group()
                     flush()
+                elif merger is None and pending and not flusher:
+                    flush()  # eager fetch overlap (see the tile path)
             dispatch_group()
         mark("schedule+dispatch", t0)
         if poller is not None:

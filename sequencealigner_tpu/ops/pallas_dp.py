@@ -253,6 +253,47 @@ def build_inline(s1, s2, *, S: int, B: int, Lc: int, Lk: int,
     return c1, c2
 
 
+#: c-rows per outer-product tile (see align_outer): one tile pairs S_TILE
+#: consecutive c-side bucket rows against one 128-lane window of k-side rows.
+S_TILE = 128
+
+
+def pack_bucket_outer(mat: np.ndarray, lengths: np.ndarray, edge: int):
+    """Host-side per-bucket arrays for the OUTER-PRODUCT-TILED kernel
+    (align_outer) — built once per bucket at upload time:
+
+      cwords: (count_padS, 1 + W//4) int32 — row r = [true length | s1 codes
+        byte-packed 4/word in plain order (code w = byte w%4 of word w//4)].
+        Rows are padded to a multiple of S_TILE *plus one extra tile* of
+        all-PAD/len-0 rows, so tail tiles and dummy descriptor rows always
+        index in bounds and score as discardable zeros.
+      kmatT: (Kpad, count_pad128) int8 — the TRANSPOSED code matrix: column
+        b = sequence b's codes (PAD beyond its length and beyond count).
+        A k-tile is the contiguous lane window [:, kt*128:(kt+1)*128] — the
+        gather-free analogue of the reference's per-thread sequence reads
+        (src/bio/kernels.cu:49-66).
+      klens: (1, count_pad128) int32 — true lengths (0 at pad lanes).
+
+    Returns None when the bucket is too long for the Pallas kernel
+    (W > W_MAX)."""
+    nb, Kpad, CD, W = geometry(edge, edge, LANE)
+    if W > W_MAX:
+        return None
+    count = mat.shape[0]
+    rows = round_up(max(count, 1), S_TILE) + S_TILE
+    m = np.full((rows, W), PAD, np.int8)
+    m[:count, :edge] = mat[:, :edge]
+    cwords = np.zeros((rows, 1 + W // 4), np.int32)
+    cwords[:count, 0] = lengths[:count]
+    cwords[:, 1:] = np.ascontiguousarray(m).view(np.int32)
+    cols = round_up(max(count, 1), LANE)
+    kT = np.full((Kpad, cols), PAD, np.int8)
+    kT[:edge, :count] = mat[:, :edge].T
+    klens = np.zeros((1, cols), np.int32)
+    klens[0, :count] = lengths[:count]
+    return cwords, kT, klens
+
+
 def pack_bucket_words(mat: np.ndarray, edge: int):
     """Host-side strided packing of one bucket's (count, edge) int8 code
     matrix into the kernel's two word layouts, done ONCE per bucket at
@@ -302,20 +343,33 @@ def align_packed(
     )
 
 
-def _make_kernel(algo: str, CD: int, W: int, KB: int, inline: bool = False):
+def _make_kernel(
+    algo: str, CD: int, W: int, KB: int, inline: bool = False,
+    outer: bool = False, nb: int = 1,
+):
     sm = np.int32(SCORE_MIN)  # concrete literal (a jnp scalar would be traced)
     nprev = 1 if algo == "nw" else 2  # H (+ Y) bottom-row streams
     LOG = KB.bit_length() - 1
 
     def kernel(gaps_ref, *refs):
-        if inline:
+        if outer:
+            # Outer-product tile mode: grid (T, S_TILE, nb, chunks); the
+            # 128 lanes are CONTIGUOUS k-side bucket rows (kmat_ref is a
+            # lane window of the transposed bucket) and the whole grid-s
+            # step shares ONE c-side row whose codes arrive as packed
+            # scalars (cw_ref, SMEM).  Scoring reads a per-band prebuilt
+            # (ALPHA*KB, B) table (qbuf) — near-zero VPU work per cell.
+            (tab_ref, cw_ref, kmat_ref, klen_ref, out_ref, state, prev,
+             qbuf) = refs
+        elif inline:
             (tab_ref, c1_ref, c2_ref, l1_ref, l2_ref, out_ref, state, prev,
              cbuf, kbuf) = refs
         else:
             sk_ref, l1_ref, l2_ref, out_ref, state, prev = refs
-        band = pl.program_id(1)
-        c = pl.program_id(2)
-        nchunks = pl.num_programs(2)
+        dim0 = 2 if outer else 1
+        band = pl.program_id(dim0)
+        c = pl.program_id(dim0 + 1)
+        nchunks = pl.num_programs(dim0 + 1)
         shape = state.shape[1:]  # (KB, B)
         kiota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         k0mask = kiota == 0
@@ -323,9 +377,13 @@ def _make_kernel(algo: str, CD: int, W: int, KB: int, inline: bool = False):
         gap = gaps_ref[0, 0]
         opn = gaps_ref[0, 1]
         ext = gaps_ref[0, 2]
-        l2 = l2_ref[0]  # (1, B)
+        if outer:
+            l2 = klen_ref[...]  # (1, B) k-tile true lengths
+            wstar = cw_ref[0, 0, 0] - 1  # scalar: shared c-row capture column
+        else:
+            l2 = l2_ref[0]  # (1, B)
+            wstar = l1_ref[0] - 1  # capture column (0-based)
         khot = kiota == l2 - 1 - band * KB
-        wstar = l1_ref[0] - 1  # capture column (0-based)
 
         rp = band % 2  # read parity
         wp_par = (band + 1) % 2
@@ -380,7 +438,54 @@ def _make_kernel(algo: str, CD: int, W: int, KB: int, inline: bool = False):
                 v = jnp.where(kiota < sh, v, jnp.maximum(v, rolled))
             return v
 
-        if inline:
+        if outer:
+            # Per-band score table: qbuf[a*KB + k, b] = sub[c2codes[k, b], a]
+            # for EVERY alphabet letter a — built once per band (once per
+            # TILE when nb == 1, hoisted across all S_TILE c-rows) from the
+            # VMEM-resident packed submatrix.  Each column's (KB, B) score
+            # slab is then ONE dynamic sublane slice selected by the shared
+            # c-row's scalar code: the per-pair mode's ~4 VPU ops/cell of
+            # packed gathers + byte extracts (the in-loop LUT reads of
+            # src/bio/kernels.cu:49-66) drop to ~0 per cell.
+            assert KB % PACK8 == 0
+            NS = KB // PACK8
+            gd_sub = jax.lax.GatherDimensionNumbers(
+                offset_dims=(), collapsed_slice_dims=(0,),
+                start_index_map=(0,), operand_batching_dims=(1,),
+                start_indices_batching_dims=(1,),
+            )
+            inb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+            if nb > 1:
+                build_cond = c == 0
+            else:  # one band: the table is tile-wide, build at first c-row
+                build_cond = (pl.program_id(1) == 0) & (c == 0)
+
+            @pl.when(build_cond)
+            def _qbuild():
+                nlanes = shape[1]
+                c2codes = kmat_ref[pl.ds(band * KB, KB), :].astype(jnp.int32)
+                idx = c2codes & 7
+                lshift = 24 - ((c2codes >> 3) << 3)
+                for a in range(ALPHA):
+                    prof = jnp.broadcast_to(
+                        tab_ref[:, a : a + 1], (PACK8, nlanes)
+                    )
+                    parts = []
+                    for r in range(NS):
+                        sl = slice(r * PACK8, (r + 1) * PACK8)
+                        g = jax.lax.gather(
+                            prof, idx[sl][..., None], gd_sub, (1, 1), mode=inb
+                        )
+                        parts.append(jax.lax.shift_right_arithmetic(
+                            jax.lax.shift_left(g, lshift[sl]), jnp.int32(24)
+                        ))
+                    qbuf[pl.ds(a * KB, KB), :] = jnp.concatenate(parts, axis=0)
+
+            def get_sd(i, w):
+                word = cw_ref[0, 0, 1 + (w >> 2)]  # packed c-row codes (SMEM)
+                code = (word >> ((w & 3) * 8)) & 0xFF
+                return qbuf[pl.ds(code * KB, KB), :]
+        elif inline:
             # In-kernel substitution scoring (the reference's in-loop LUT
             # reads, src/bio/kernels.cu:49-66), from raw codes: one LANE-axis
             # per-lane gather by the column's s1 code pulls the byte-packed
@@ -634,6 +739,95 @@ def align_prebuilt_inline(
         interpret=interpret,
     )(gaps2, table, c1, c2, l1b, l2b)
     return out.reshape(n)
+
+
+def pick_T(Lc: int, Lk: int, target_cells: int = 1 << 31, t_max: int = 256):
+    """Tiles per outer-mode dispatch: sized by padded cells like pick_S
+    (~2^31 ≈ 15 ms of device time), capped so one dispatch's output stays
+    small, rounded down to a power of two (bounded executable set)."""
+    nb, Kpad, CD, W = geometry(Lc, Lk, LANE)
+    tile = S_TILE * LANE * Kpad * W
+    t = max(1, min(t_max, target_cells // tile))
+    return 1 << (int(t).bit_length() - 1)
+
+
+def align_outer(
+    desc, cwords, kmatT, klens, sub_p, gaps, *, algo: str, Lc: int, Lk: int,
+    interpret: bool = False,
+):
+    """OUTER-PRODUCT-TILED column sweep: score T tiles of (S_TILE c-rows x
+    LANE k-rows) pairs with ZERO per-pair data movement.
+
+    Each tile pairs S_TILE consecutive c-side bucket rows against one
+    contiguous 128-lane window of the TRANSPOSED k-side bucket (kmatT), so
+    the engine ships only a (T, 2) int32 descriptor array [c0_row, k_tile]
+    per dispatch — no per-pair gather, no pair-minor transpose, no packed
+    word streams (the per-dispatch row gather + in-kernel unpack of the
+    per-pair mode are gone entirely).  Pairs that a rectangle covers twice
+    or that fall outside a triangle (same-bucket diagonal tiles) are simply
+    discarded by the host — the kernel needs no validity masking because
+    pad rows/lanes carry length 0 and PAD codes.
+
+    This is the TPU-shaped analogue of the reference CUDA path's zero-prep
+    in-loop scoring (src/bio/kernels.cu:49-66): where each CUDA thread walks
+    its own pair, here each grid step walks 128 pairs that share one c-row,
+    so the k-side streams contiguously and the substitution scores come from
+    a per-band VMEM table (see _make_kernel outer notes).
+
+    Args:
+      desc: (T, 2) int32 [c-row index, k-tile index] per tile.
+      cwords/kmatT/klens: pack_bucket_outer arrays (c bucket / k bucket).
+    Returns: (T, S_TILE, LANE) int32 scores (tile-major, c-row, k-lane).
+    """
+    T = desc.shape[0]
+    B = LANE
+    nb, Kpad, CD, W = geometry(Lc, Lk, B)
+    kb = band_kb(Lk)
+    gaps2 = gaps.reshape(1, 3).astype(jnp.int32)
+    table = packed_lane_table(sub_p)
+    nprev = 1 if algo == "nw" else 2
+    kern = _make_kernel(algo, CD, W, kb, outer=True, nb=nb)
+    # Mosaic's block rule wants the last two dims equal to the array's (or
+    # 8/128-divisible): give the per-row SMEM window a singleton sublane dim.
+    cwords = cwords.reshape(cwords.shape[0], 1, 1 + W // 4)
+
+    def kernel(desc_ref, gaps_ref, *refs):  # desc feeds index maps only
+        return kern(gaps_ref, *refs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, S_TILE, nb, W // CD),
+        in_specs=[
+            pl.BlockSpec((PACK8, LANE), lambda t, s, b, c, d, g: (0, 0),
+                         memory_space=pltpu.VMEM),  # packed submatrix
+            pl.BlockSpec((1, 1, 1 + W // 4),
+                         lambda t, s, b, c, d, g: (d[t, 0] + s, 0, 0),
+                         memory_space=pltpu.SMEM),  # shared c-row words
+            pl.BlockSpec((Kpad, B), lambda t, s, b, c, d, g: (0, d[t, 1]),
+                         memory_space=pltpu.VMEM),  # k-tile codes (int8 T)
+            pl.BlockSpec((1, B), lambda t, s, b, c, d, g: (0, d[t, 1]),
+                         memory_space=pltpu.VMEM),  # k-tile lengths
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, B), lambda t, s, b, c, d, g: (t * S_TILE + s, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, kb, B), jnp.int32),  # H / X / acc carry handoff
+            pltpu.VMEM((2, nprev, W + 1, B), jnp.int32),  # band crossing
+            pltpu.VMEM((ALPHA * kb, B), jnp.int32),  # per-band score table
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * S_TILE, 1, B), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * T * S_TILE * B * Kpad * W, transcendentals=0,
+            bytes_accessed=T * (S_TILE * W + Kpad * B),
+        ),
+        interpret=interpret,
+    )(desc, gaps2, table, cwords, kmatT, klens)
+    return out.reshape(T, S_TILE, B)
 
 
 @functools.partial(

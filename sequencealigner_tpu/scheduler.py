@@ -174,6 +174,11 @@ class Block:
         _, _, l1, l2, valid = self.arrays()
         return int((l1.astype(np.int64) * l2)[valid].sum())
 
+    def select_valid(self, scores: np.ndarray) -> np.ndarray:
+        """The valid-pair slice of this block's score slots (linear blocks
+        put valid pairs first; tile blocks scatter them — see TileBlock)."""
+        return scores[: self.n_valid]
+
     def pairs(self) -> tuple[np.ndarray, np.ndarray, int]:
         """(orig_i, orig_j, cells) over the VALID pairs only — the flush-side
         form, via the fused C pass (io/native.py materialize_block) when
@@ -195,6 +200,100 @@ class Block:
                 oi, oj, _, _, valid = self.arrays()
                 r = (oi[valid], oj[valid], self.cells)
             self._pairs = r
+        return self._pairs
+
+
+#: Outer-product tile geometry (must match ops.pallas_dp.S_TILE / LANE;
+#: asserted by the engine).  Kept as plain ints so the scheduler stays
+#: numpy-only.
+TILE_S = 128
+TILE_B = 128
+
+
+@dataclasses.dataclass
+class TileBlock:
+    """One OUTER-PRODUCT tile: TILE_S consecutive c-side bucket rows crossed
+    with one contiguous TILE_B-lane window of k-side bucket rows (the
+    zero-gather schedule for ops.pallas_dp.align_outer).  The kernel computes
+    the full rectangle; validity — tail rows/lanes past the bucket counts and
+    the k<c triangle constraint of same-bucket combos — is applied here, on
+    the host, when slicing scores out of the dispatch buffer.
+
+    Covers the same pair space as the linear-id Blocks (the packed-triangular
+    bijection of /root/reference/src/util/macros.h:13 is still used for
+    STORAGE); only the schedule geometry differs."""
+
+    Lc: int
+    Lk: int
+    bucket_c: int
+    bucket_k: int
+    c0: int  # first combo-local c row of the tile
+    kt: int  # k-tile index: lane window [kt*TILE_B, (kt+1)*TILE_B)
+    width: int  # TILE_S * TILE_B score slots (row-major: c-row, then lane)
+    n_valid: int
+    sched: "Schedule" = dataclasses.field(repr=False)
+    _arr: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _pairs: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def desc(self) -> tuple[int, int]:
+        """The (c-row, k-tile) descriptor the device dispatch ships."""
+        return (self.c0, self.kt)
+
+    def arrays(self) -> tuple:
+        """(orig_i, orig_j, l1, l2, valid) over all width slots."""
+        if self._arr is None:
+            sch = self.sched
+            ba = sch.buckets[self.bucket_k]
+            bb = sch.buckets[self.bucket_c]
+            rc = np.repeat(
+                np.arange(self.c0, self.c0 + TILE_S, dtype=np.int64), TILE_B
+            )
+            rk = np.tile(
+                np.arange(self.kt * TILE_B, (self.kt + 1) * TILE_B,
+                          dtype=np.int64),
+                TILE_S,
+            )
+            valid = (rc < bb.count) & (rk < ba.count)
+            if self.bucket_k == self.bucket_c:
+                valid &= rk < rc
+            rcc = np.minimum(rc, bb.count - 1)
+            rkk = np.minimum(rk, ba.count - 1)
+            ok = sch.order[ba.start + rkk]
+            oc = sch.order[bb.start + rcc]
+            oi = np.minimum(ok, oc).astype(np.int64)
+            oj = np.maximum(ok, oc).astype(np.int64)
+            l1 = sch.lengths_sorted[bb.start + rcc].astype(np.int32)
+            l2 = sch.lengths_sorted[ba.start + rkk].astype(np.int32)
+            self._arr = (oi, oj, l1, l2, valid)
+        return self._arr
+
+    orig_i = property(lambda self: self.arrays()[0])
+    orig_j = property(lambda self: self.arrays()[1])
+    l1 = property(lambda self: self.arrays()[2])
+    l2 = property(lambda self: self.arrays()[3])
+    valid = property(lambda self: self.arrays()[4])
+
+    @property
+    def cells(self) -> int:
+        _, _, l1, l2, valid = self.arrays()
+        return int((l1.astype(np.int64) * l2)[valid].sum())
+
+    def select_valid(self, scores: np.ndarray) -> np.ndarray:
+        """Valid-pair scores of a tile: selected by the mask (tail rows and
+        lanes past the bucket counts, and the k >= c half of same-bucket
+        diagonal tiles, are computed by the kernel but discarded here)."""
+        return scores[self.arrays()[4]]
+
+    def pairs(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """(orig_i, orig_j, cells) over the VALID slots only."""
+        if self._pairs is None:
+            oi, oj, _, _, valid = self.arrays()
+            self._pairs = (oi[valid], oj[valid], self.cells)
         return self._pairs
 
 
@@ -294,3 +393,30 @@ class Schedule:
                 sched=self,
             )
             s0 += w
+
+    def tiles(self, a: int, b: int) -> Iterator[TileBlock]:
+        """Lazy OUTER-PRODUCT tiles for combo (a <= b): for each TILE_B-lane
+        window of bucket a's rows, TILE_S-row chunks of bucket b's rows.
+        Same-bucket combos start each window's c-rows AT the window (full
+        rectangles below the diagonal; the one diagonal tile per window is
+        half-masked — the kernel computes it fully and the host discards the
+        k >= c half).  Tiles with zero valid pairs are skipped."""
+        ba, bb = self.buckets[a], self.buckets[b]
+        Lk, Lc = ba.edge, bb.edge
+        same = a == b
+        ntk = -(-ba.count // TILE_B)
+        for kt in range(ntk):
+            lanes = min(TILE_B, ba.count - kt * TILE_B)
+            c_lo = kt * TILE_B if same else 0
+            for c0 in range(c_lo, bb.count, TILE_S):
+                if same:
+                    rows = np.arange(c0, min(c0 + TILE_S, bb.count))
+                    nv = int(np.clip(rows - kt * TILE_B, 0, lanes).sum())
+                else:
+                    nv = min(TILE_S, bb.count - c0) * lanes
+                if nv == 0:
+                    continue
+                yield TileBlock(
+                    Lc=Lc, Lk=Lk, bucket_c=b, bucket_k=a, c0=c0, kt=kt,
+                    width=TILE_S * TILE_B, n_valid=nv, sched=self,
+                )

@@ -262,3 +262,120 @@ def test_geometry_cd_is_partner_independent():
                 continue
             _, _, cd, w = geometry(ec, ek, 128)
             assert (cd, w) == (cd_own, w_own), (ec, ek, cd, cd_own)
+
+
+# ---------------------------------------------------------------------------
+# Outer-product tile mode (align_outer)
+
+
+def _outer_bucket(rng, count, edge):
+    lens = rng.integers(1, edge + 1, count).astype(np.int32)
+    mat = np.full((count, edge), PAD, np.int8)
+    for i, l in enumerate(lens):
+        mat[i, :l] = rng.integers(0, 20, l)
+    return mat, lens
+
+
+@pytest.mark.parametrize("algo,gaps", GAP_CASES)
+@pytest.mark.parametrize("Lc,Lk,cc,kc", [(64, 32, 21, 9), (96, 96, 9, 7)])
+def test_outer_tiles_match_oracle(algo, gaps, Lc, Lk, cc, kc):
+    """align_outer (zero-gather outer-product tiles, in-kernel per-band
+    score table) is bit-exact vs the oracle, including the multi-band
+    geometry (Lk=96 -> two 32-row bands + per-band table rebuild)."""
+    import jax.numpy as jnp
+
+    from sequencealigner_tpu.ops.pallas_dp import (
+        LANE, S_TILE, align_outer, pack_bucket_outer,
+    )
+
+    rng = np.random.default_rng(hash((algo, Lc, Lk)) % 2**32)
+    cmat, clens = _outer_bucket(rng, cc, Lc)
+    kmat, klens = _outer_bucket(rng, kc, Lk)
+    cw = pack_bucket_outer(cmat, clens, Lc)
+    kw = pack_bucket_outer(kmat, klens, Lk)
+    descs = [(c0, kt) for kt in range(-(-kc // LANE))
+             for c0 in range(0, cc, S_TILE)]
+    desc = jnp.asarray(np.array(descs, np.int32).reshape(len(descs), 2))
+    out = np.asarray(align_outer(
+        desc, jnp.asarray(cw[0]), jnp.asarray(kw[1]), jnp.asarray(kw[2]),
+        jnp.asarray(SUB_P), jnp.asarray(np.array(gaps, np.int32)),
+        algo=algo, Lc=Lc, Lk=Lk, interpret=True,
+    ))
+    for t, (c0, kt) in enumerate(descs):
+        for s in range(min(S_TILE, cc - c0)):
+            ci = c0 + s
+            for b in range(min(LANE, kc - kt * LANE)):
+                ki = kt * LANE + b
+                want = oracle.align_score(
+                    algo, cmat[ci, : clens[ci]], kmat[ki, : klens[ki]],
+                    M.matrix, gap=gaps[0], opn=gaps[1], ext=gaps[2],
+                )
+                assert out[t, s, b] == want, (algo, ci, ki)
+
+
+def test_outer_tile_schedule_covers_pair_space():
+    """Schedule.tiles covers every pair exactly once (valid slots), for both
+    cross-bucket rectangles and same-bucket triangles with masked diagonal
+    tiles."""
+    from sequencealigner_tpu.scheduler import Schedule
+
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(4, 70, 300).astype(np.int32)
+    sched = Schedule.build(lengths)
+    seen = set()
+    for a, b in sched.combos():
+        for blk in sched.tiles(a, b):
+            oi, oj, _ = blk.pairs()
+            assert blk.select_valid(
+                np.arange(blk.width)
+            ).shape == oi.shape
+            for i, j in zip(oi, oj):
+                assert i < j
+                assert (i, j) not in seen
+                seen.add((int(i), int(j)))
+    n = len(lengths)
+    assert len(seen) == n * (n - 1) // 2
+
+
+def test_sw_zero_cell_no_gap_reopen():
+    """Pin the SW recurrence's dropped zero-cell gap-reopen term
+    (pallas_dp module notes; reference src/bio/method/sw.c:38-58): construct
+    pairs where the optimal local alignment starts immediately after a
+    clamped-to-zero cell with open << extend, and assert kernel == oracle.
+    The adversarial shape: a strong mismatch prefix (clamps H to 0), then a
+    gap that would only pay off if it could 'reopen' from the zero cell."""
+    from sequencealigner_tpu.ops.pallas_dp import align_superblock
+
+    # Alphabet indices: use identity-heavy BLOSUM62 entries.  s1 = X W W W,
+    # s2 = W W W with leading junk; plus randomized variants around the
+    # zero boundary.
+    rng = np.random.default_rng(11)
+    n = 128
+    Lc = Lk = 16
+    s1 = np.full((n, Lc), PAD, np.int32)
+    s2 = np.full((n, Lk), PAD, np.int32)
+    l1 = np.zeros(n, np.int32)
+    l2 = np.zeros(n, np.int32)
+    for b in range(n):
+        # prefix of mismatching chars, then a match run separated by an
+        # insertion right at the zero boundary
+        pre = int(rng.integers(1, 5))
+        run = int(rng.integers(2, 6))
+        gap_len = int(rng.integers(1, 4))
+        a = list(rng.integers(0, 20, pre)) + [17] * run
+        c = list(rng.integers(0, 20, pre)) + [0] * gap_len + [17] * run
+        l1[b] = min(len(a), Lc)
+        l2[b] = min(len(c), Lk)
+        s1[b, : l1[b]] = a[: l1[b]]
+        s2[b, : l2[b]] = c[: l2[b]]
+    gaps = np.array([0, -12, -1], np.int32)  # open >> extend
+    out = np.asarray(align_superblock(
+        s1, s2, l1, l2, SUB_P, gaps, algo="sw", Lc=Lc, Lk=Lk, B=128,
+        interpret=True,
+    ))
+    for b in range(n):
+        want = oracle.align_score(
+            "sw", s1[b, : l1[b]], s2[b, : l2[b]], M.matrix,
+            opn=-12, ext=-1,
+        )
+        assert out[b] == want, b
