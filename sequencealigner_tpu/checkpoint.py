@@ -83,8 +83,24 @@ class Journal:
             except json.JSONDecodeError:
                 raise CheckpointError("Checkpoint journal header is corrupt")
             if existing != header:
+                diff = []
+                if isinstance(existing, dict):
+                    for k in sorted(set(existing) | set(header)):
+                        a, b = existing.get(k), header.get(k)
+                        if a != b:
+                            diff.append(f"{k}: journal={a!r} run={b!r}")
+                detail = "; ".join(diff) or "unreadable header"
+                hint = ""
+                if any(d.startswith("schedule:") for d in diff):
+                    hint = (
+                        " (the block-schedule geometry changed — e.g. a "
+                        "different engine version or device path; the "
+                        "journal's block indices do not map to the same "
+                        "pairs, so the run must restart from scratch)"
+                    )
                 raise CheckpointError(
-                    "Checkpoint was created with a different configuration"
+                    "Checkpoint was created with a different configuration: "
+                    + detail + hint
                 )
             # A crash mid-commit can tear the LAST line; tolerate it by
             # truncating to the last complete line (that flush is simply

@@ -114,18 +114,34 @@ def _int32_ids_ok(npairs: int, same: bool, rows: int) -> bool:
     return npairs < (1 << 31) and (not same or rows <= 46340)
 
 
+def _tri_invert(lin, it):
+    """Closed-form triangle inversion lin -> (j, i), i < j (the vectorized
+    d_find_j, reference src/bio/kernels.cu:17-30): float32 sqrt + two
+    integer corrections — exact for row counts up to ~16M."""
+    j = ((1.0 + jnp.sqrt(1.0 + 8.0 * lin.astype(jnp.float32))) * 0.5
+         ).astype(it)
+    for _ in range(2):
+        j = jnp.where(j * (j - 1) // 2 > lin, j - 1, j)
+        j = jnp.where((j + 1) * j // 2 <= lin, j + 1, j)
+    return j, lin - j * (j - 1) // 2
+
+
 def _pair_rows(
-    lens_k, t0, npairs, *, Wloc, same, small, shard_offset=None,
+    lens_k, t0, npairs, *, Wloc, mode, small, shard_offset=None,
 ):
     """Per-pair combo-local row indices (rc, rk) derived ON DEVICE from a
     superblock's first linear id — the host ships 8 bytes per superblock
-    instead of 16 bytes per pair.  Within-bucket combos invert the triangle
-    in CLOSED FORM (the vectorized d_find_j, reference
-    src/bio/kernels.cu:17-30): float32 sqrt + two integer corrections —
-    ~30x faster on TPU than a searchsorted over a triangle table, and int64
-    arithmetic (emulated on TPU) is avoided entirely when the combo's pair
-    count fits int32 (``small``, a static flag).  The f32 sqrt plus two
-    corrections is exact for bucket counts up to ~16M rows.
+    instead of 16 bytes per pair.  ``mode``:
+
+    - 'rect': cross-bucket rectangle, id = rc * count_k + rk.
+    - 'tri': within-bucket triangle, id = rc*(rc-1)/2 + rk (closed-form
+      inversion; int64 arithmetic — emulated on TPU — is avoided when the
+      combo's pair count fits int32: ``small``, a static flag).
+    - 'diag': the tile schedule's diagonal remainder (scheduler.DiagBlock):
+      id = window * TRI_W + local triangle id; window-local inversion, rows
+      clamped to the bucket count for tail-window pad slots.  Ids always
+      fit int32 (buckets are split at 2^24 rows -> < 2^31 slot ids).
+
     ``shard_offset`` (set under shard_map) positions this device's
     Wloc-wide slice."""
     lin = t0 + jnp.arange(Wloc, dtype=jnp.int64)
@@ -134,30 +150,36 @@ def _pair_rows(
     lin = jnp.where(lin < npairs, lin, 0)  # pad pairs -> dummy (0, 0)
     it = jnp.int32 if small else jnp.int64
     lin = lin.astype(it)
-    if same:
-        j = ((1.0 + jnp.sqrt(1.0 + 8.0 * lin.astype(jnp.float32))) * 0.5
-             ).astype(it)
-        for _ in range(2):
-            j = jnp.where(j * (j - 1) // 2 > lin, j - 1, j)
-            j = jnp.where((j + 1) * j // 2 <= lin, j + 1, j)
+    rows = lens_k.shape[0]  # static bucket row count
+    if mode == "tri":
+        j, i = _tri_invert(lin, it)
         rc = j.astype(jnp.int32)
-        rk = (lin - j * (j - 1) // 2).astype(jnp.int32)
+        rk = i.astype(jnp.int32)
+    elif mode == "diag":
+        from .scheduler import TILE_B, TRI_W
+
+        u = lin // TRI_W  # static divisor
+        loc = lin - u * TRI_W
+        j, i = _tri_invert(loc, it)
+        rc = (u * TILE_B + j).astype(jnp.int32)
+        rk = (u * TILE_B + i).astype(jnp.int32)
+        rc = jnp.minimum(rc, rows - 1)  # tail-window pad slots
+        rk = jnp.minimum(rk, rows - 1)
     else:
-        ca = lens_k.shape[0]  # static -> constant-divisor division
-        rk = (lin % ca).astype(jnp.int32)
-        rc = (lin // ca).astype(jnp.int32)
+        rk = (lin % rows).astype(jnp.int32)  # constant-divisor division
+        rc = (lin // rows).astype(jnp.int32)
     return rc, rk
 
 
 def _gather_pairs(
     bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
-    *, Wloc, same, small, shard_offset=None,
+    *, Wloc, mode, small, shard_offset=None,
 ):
     """Gathered per-pair code rows + lengths for one superblock (XLA DP
     path; the Pallas path gathers pre-packed words instead — see
     _stack_body)."""
     rc, rk = _pair_rows(
-        lens_k, t0, npairs, Wloc=Wloc, same=same, small=small,
+        lens_k, t0, npairs, Wloc=Wloc, mode=mode, small=small,
         shard_offset=shard_offset,
     )
     s1 = bucket_c[rc].astype(jnp.int32)
@@ -167,7 +189,7 @@ def _gather_pairs(
 
 def _stack_body(
     bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, mode, small, int16_ok,
     packed=False, shard_offset=None, interpret=False,
 ):
     """Score a stack of superblocks in a single dispatch: lax.map over the
@@ -206,7 +228,7 @@ def _stack_body(
             # loop): the per-dispatch device work is just a row gather, a
             # pair-to-minor transpose, and the kernel.
             rc, rk = _pair_rows(
-                lens_k, t0, npairs, Wloc=Wloc, same=same, small=small,
+                lens_k, t0, npairs, Wloc=Wloc, mode=mode, small=small,
                 shard_offset=shard_offset,
             )
             return_out = pallas_dp.align_packed(
@@ -219,7 +241,7 @@ def _stack_body(
             return return_out
         s1, s2, l1b, l2b = _gather_pairs(
             bucket_c, bucket_k, lens_c, lens_k, t0, npairs,
-            Wloc=Wloc, same=same, small=small, shard_offset=shard_offset,
+            Wloc=Wloc, mode=mode, small=small, shard_offset=shard_offset,
         )
         if (Lc + Lk) * (Lk + 1) * 4 > (4 << 20):
             # Long pairs: never materialize the O(Lc*Lk) score grid.
@@ -304,19 +326,19 @@ def _sharded_tile_scorer(
 @partial(
     jax.jit,
     static_argnames=(
-        "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "same", "small",
+        "algo", "Lc", "Lk", "B", "Wloc", "use_pallas", "mode", "small",
         "int16_ok", "packed", "interpret",
     ),
 )
 def _score_stack(
     bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
-    *, algo, Lc, Lk, B, Wloc, use_pallas, same, small, int16_ok,
+    *, algo, Lc, Lk, B, Wloc, use_pallas, mode, small, int16_ok,
     packed=False, interpret=False,
 ):
     return _stack_body(
         bucket_c, bucket_k, lens_c, lens_k, starts, sub_p, gaps,
         algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc, use_pallas=use_pallas,
-        same=same, small=small, int16_ok=int16_ok, packed=packed,
+        mode=mode, small=small, int16_ok=int16_ok, packed=packed,
         interpret=interpret,
     )
 
@@ -324,7 +346,7 @@ def _score_stack(
 @functools.lru_cache(maxsize=None)
 def _sharded_scorer(
     mesh, algo: str, Lc: int, Lk: int, B: int, Wloc: int,
-    use_pallas: bool, same: bool, small: bool, int16_ok: bool,
+    use_pallas: bool, mode: str, small: bool, int16_ok: bool,
     packed: bool = False, interpret: bool = False,
 ):
     """SPMD scorer over a >1-device mesh: each superblock is split on the
@@ -338,7 +360,7 @@ def _sharded_scorer(
         return _stack_body(
             bucket_c, bucket_k, lens_c, lens_k, starts,
             sub_p, gaps, algo=algo, Lc=Lc, Lk=Lk, B=B, Wloc=Wloc,
-            use_pallas=use_pallas, same=same, small=small,
+            use_pallas=use_pallas, mode=mode, small=small,
             int16_ok=int16_ok, packed=packed, shard_offset=off,
             interpret=interpret,
         )
@@ -432,6 +454,12 @@ class Engine:
         except Exception:
             ver = ""
         self._poll_ok = "axon" not in ver
+        # One-entry cache of per-bucket device arrays, keyed by SequenceSet
+        # identity: repeated align_all calls on the same set (benchmarks,
+        # library use) skip the per-bucket uploads entirely — the reference
+        # uploads sequences once per process too (seqalign_cuda.c:129-132).
+        # Holding the strong reference keeps the identity check sound.
+        self._bucket_cache: tuple | None = None
 
     def schedule_token(self, lengths) -> str:
         """Identifier of the block-schedule geometry this engine will use
@@ -442,7 +470,9 @@ class Engine:
         if self.use_pallas and self.outer and all(
             pallas_dp.supports(b.edge, b.edge) for b in sched.buckets
         ):
-            return "tiles-v1"
+            # v2: same-bucket combos emit off-diagonal tiles + a diagonal
+            # per-pair remainder stream (global indices shifted vs v1).
+            return "tiles-v2"
         return "linear-v1"
 
     def _put_rep(self, x):
@@ -496,9 +526,20 @@ class Engine:
             blens = sched.lengths_sorted[b.start : b.end].astype(np.int32)
             if all_outer:
                 cw, kT, kl = pallas_dp.pack_bucket_outer(mat, blens, b.edge)
+                # The combined word form rides along for the same-bucket
+                # DIAGONAL-REMAINDER dispatches (scheduler.diag_blocks): the
+                # off-diagonal tile rectangles use the outer arrays, the
+                # per-window triangles the per-pair packed path.
+                diag = None
+                if b.count >= 2:
+                    pk = pallas_dp.pack_bucket_words(mat, b.edge)
+                    diag = self._put_rep(
+                        np.hstack([pk[0], pk[1], blens[:, None]])
+                    )
                 outer.append((
                     self._put_rep(cw), self._put_rep(kT), self._put_rep(kl),
                     cw.shape[0] - pallas_dp.S_TILE,  # all-pad dummy tile row
+                    diag,
                 ))
                 arrays.append(None)
                 lens.append(None)
@@ -568,7 +609,7 @@ class Engine:
         whose working set is just the code tensors — all in-jit temporaries,
         no HBM stream pacing needed."""
         (bc, bk, lens_c, lens_k, npairs, sub_dev, gaps_dev,
-         Lc, Lk, B, W, same, small, packed) = ctx
+         Lc, Lk, B, W, mode, small, packed) = ctx
         int16_ok = self._int16_ok(Lc, Lk)
         off = 0
         while off < len(blks):
@@ -581,13 +622,13 @@ class Engine:
             if self.ndev > 1:
                 dev = _sharded_scorer(
                     self.mesh, self.algo, Lc, Lk, B, W // self.ndev,
-                    self.use_pallas, same, small, int16_ok, packed,
+                    self.use_pallas, mode, small, int16_ok, packed,
                     self.pallas_interpret,
                 )(*args)
             else:
                 dev = _score_stack(
                     *args, algo=self.algo, Lc=Lc, Lk=Lk, B=B, Wloc=W,
-                    use_pallas=self.use_pallas, same=same, small=small,
+                    use_pallas=self.use_pallas, mode=mode, small=small,
                     int16_ok=int16_ok, packed=packed,
                     interpret=self.pallas_interpret,
                 )
@@ -616,9 +657,19 @@ class Engine:
         int16_ok = self._int16_ok(Lc, Lk)
         off = 0
         while off < len(blks):
-            seg = 1 << (len(blks) - off).bit_length() - 1
-            part = blks[off : off + seg]
-            off += seg
+            rem = len(blks) - off
+            # Prefer ONE dispatch per group: round rem UP to the next power
+            # of two (dummy descriptors fill the tail) when the dummy-tile
+            # compute is <= ~25% of the dispatch; otherwise split at the
+            # largest power of two and recurse.  Each extra dispatch costs a
+            # host round trip (dominant on slow links; the pow2-only
+            # splitting measured 8 dispatches for a 3-combo 1k-protein run
+            # where 3 suffice), each dummy tile costs real device cells.
+            seg = 1 << (rem - 1).bit_length()
+            if (seg - rem) * 3 > rem:
+                seg = 1 << (rem.bit_length() - 1)
+            part = blks[off : off + min(seg, rem)]
+            off += len(part)
             T = max(seg, self.ndev)
             T = -(-T // self.ndev) * self.ndev  # non-power-of-two meshes
             desc = np.zeros((T, 2), np.int32)
@@ -689,10 +740,18 @@ class Engine:
         bar = ui.Progress(total_pairs, "Aligning sequences") if progress else None
 
         t0 = time.perf_counter()
-        (buckets_dev, lens_dev, packs_dev, combined_dev,
-         outer_dev) = self._bucket_arrays(ss, sched)
-        sub_dev = self._put_rep(self.sub_p)
-        gaps_dev = self._put_rep(self.gaps)
+        if self._bucket_cache is not None and self._bucket_cache[0] is ss:
+            (buckets_dev, lens_dev, packs_dev, combined_dev, outer_dev,
+             sub_dev, gaps_dev) = self._bucket_cache[1]
+        else:
+            (buckets_dev, lens_dev, packs_dev, combined_dev,
+             outer_dev) = self._bucket_arrays(ss, sched)
+            sub_dev = self._put_rep(self.sub_p)
+            gaps_dev = self._put_rep(self.gaps)
+            self._bucket_cache = (ss, (
+                buckets_dev, lens_dev, packs_dev, combined_dev, outer_dev,
+                sub_dev, gaps_dev,
+            ))
 
         stats = AlignStats()
         commit_backlog: list = []  # journaled blocks awaiting a sync point
@@ -887,6 +946,32 @@ class Engine:
 
         scheduled = 0  # pairs claimed so far (for limit_pairs)
         gidx = 0  # deterministic global superblock index
+
+        def take(blk):
+            """Claim or skip one block (any schedule geometry): assigns the
+            deterministic global index, strips other hosts' blocks, skips
+            journaled blocks (re-contributing their stored scores in
+            multi-host runs).  Returns the index to dispatch, or None."""
+            nonlocal gidx
+            idx = gidx
+            gidx += 1
+            if idx % nhosts != host_id:
+                if bar:
+                    bar.add(blk.n_valid)  # another host's work
+                return None
+            if journal is not None and idx in journal.done:
+                stats.pairs_resumed += blk.n_valid
+                if merger is not None and store is not None:
+                    v = blk.valid
+                    resumed_triplets.append((
+                        blk.orig_i[v], blk.orig_j[v],
+                        store.read_pairs(blk.orig_i[v], blk.orig_j[v]),
+                    ))
+                if bar:
+                    bar.add(blk.n_valid)
+                return None
+            return idx
+
         for a, b in sched.combos():
             if limit_pairs is not None and scheduled >= limit_pairs:
                 break
@@ -913,31 +998,12 @@ class Engine:
                         self._dispatch_tiles(blks, tile_ctx, pending)
                         blks = []
 
-                def take_tile(blk):
-                    nonlocal gidx
-                    idx = gidx
-                    gidx += 1
-                    if idx % nhosts != host_id:
-                        if bar:
-                            bar.add(blk.n_valid)
-                        return blk.width
-                    if journal is not None and idx in journal.done:
-                        stats.pairs_resumed += blk.n_valid
-                        if merger is not None and store is not None:
-                            v = blk.valid
-                            resumed_triplets.append((
-                                blk.orig_i[v], blk.orig_j[v],
-                                store.read_pairs(blk.orig_i[v], blk.orig_j[v]),
-                            ))
-                        if bar:
-                            bar.add(blk.n_valid)
-                        return blk.width
-                    blks.append((idx, blk))
-                    return blk.width
-
                 for blk in sched.tiles(a, b):
-                    inflight += take_tile(blk)
+                    idx = take(blk)
+                    inflight += blk.width
                     scheduled += blk.n_valid
+                    if idx is not None:
+                        blks.append((idx, blk))
                     if limit_pairs is not None and scheduled >= limit_pairs:
                         break
                     if len(blks) >= T_group:
@@ -954,6 +1020,55 @@ class Engine:
                         # src/interface/seqalign_cuda.c:267-273).
                         flush()
                 dispatch_tiles_group()
+                if a == b and outer_dev[a][4] is not None and not (
+                    limit_pairs is not None and scheduled >= limit_pairs
+                ):
+                    # Diagonal remainder: the per-window triangles excluded
+                    # from the tile stream (scheduler.tiles), scored through
+                    # the per-pair packed path (mode='diag') — near-zero
+                    # padded compute where a diagonal tile would discard
+                    # half its slots.
+                    from .scheduler import TILE_B, TRI_W
+
+                    nwin = -(-sched.buckets[a].count // TILE_B)
+                    n_slots = nwin * TRI_W
+                    dwidth, B = self._superblock_width(Lc, Lc, n_slots)
+                    diag_ctx = (
+                        outer_dev[a][4], outer_dev[a][4], None, None,
+                        n_slots, sub_dev, gaps_dev, Lc, Lc, B,
+                    )
+                    dblks: list = []
+                    cur_w = dwidth
+
+                    def dispatch_diag():
+                        nonlocal dblks
+                        if dblks:
+                            self._dispatch(
+                                dblks,
+                                diag_ctx + (cur_w, "diag", True, True),
+                                pending,
+                            )
+                            dblks = []
+
+                    for blk in sched.diag_blocks(
+                        a, dwidth, tail_min=B * self.ndev
+                    ):
+                        if blk.width != cur_w:
+                            dispatch_diag()
+                            cur_w = blk.width
+                        idx = take(blk)
+                        inflight += blk.width
+                        scheduled += blk.n_valid
+                        if idx is not None:
+                            dblks.append((idx, blk))
+                        if limit_pairs is not None and scheduled >= limit_pairs:
+                            break
+                        if inflight >= FLUSH_PAIRS:
+                            dispatch_diag()
+                            flush()
+                        elif merger is None and pending and not flusher:
+                            flush()
+                    dispatch_diag()
                 continue
             width, B = self._superblock_width(Lc, Lk, npairs)
             # Closed-form triangle inversion is exact to ~16M bucket rows;
@@ -989,7 +1104,7 @@ class Engine:
                 arr_c, arr_k, lc, lk,
                 npairs, sub_dev, gaps_dev, Lc, Lk, B,
             )
-            same = a == b
+            mode = "tri" if a == b else "rect"
             # Superblocks are stacked into chunks of <= FLUSH_PAIRS pairs and
             # scored with ONE dispatch per chunk (lax.map over the stack).
             chunk_blocks = max(1, FLUSH_PAIRS // width)
@@ -1001,41 +1116,20 @@ class Engine:
                 nonlocal blks
                 if blks:
                     self._dispatch(
-                        blks, base_ctx + (cur_w, same, small, packed), pending
+                        blks, base_ctx + (cur_w, mode, small, packed), pending
                     )
                     blks = []
-
-            def take(blk):
-                """Claim or skip one block; returns its pair count either way
-                (flush cadence must be identical on every host)."""
-                nonlocal gidx
-                idx = gidx
-                gidx += 1
-                if idx % nhosts != host_id:
-                    if bar:
-                        bar.add(blk.n_valid)  # another host's work
-                    return blk.width
-                if journal is not None and idx in journal.done:
-                    stats.pairs_resumed += blk.n_valid
-                    if merger is not None and store is not None:
-                        v = blk.valid
-                        resumed_triplets.append((
-                            blk.orig_i[v], blk.orig_j[v],
-                            store.read_pairs(blk.orig_i[v], blk.orig_j[v]),
-                        ))
-                    if bar:
-                        bar.add(blk.n_valid)
-                    return blk.width
-                blks.append((idx, blk))
-                return blk.width
 
             tail_min = B * self.ndev if B else None
             for blk in sched.blocks(a, b, width=width, tail_min=tail_min):
                 if blk.width != cur_w:  # shrinking tail: new dispatch shape
                     dispatch_group()
                     cur_w = blk.width
-                inflight += take(blk)
+                idx = take(blk)
+                inflight += blk.width
                 scheduled += blk.n_valid
+                if idx is not None:
+                    blks.append((idx, blk))
                 if limit_pairs is not None and scheduled >= limit_pairs:
                     break
                 if len(blks) >= chunk_blocks:

@@ -209,6 +209,91 @@ class Block:
 TILE_S = 128
 TILE_B = 128
 
+#: Slot ids per window in the diagonal-remainder subspace (diag_blocks):
+#: the triangle of one TILE_B-row window.
+TRI_W = TILE_B * (TILE_B - 1) // 2
+
+
+@dataclasses.dataclass
+class DiagBlock:
+    """One per-pair dispatch's worth of DIAGONAL-REMAINDER pairs of a
+    same-bucket combo under the tile schedule (see Schedule.diag_blocks).
+    Slot id t -> window u = t // TRI_W, local triangle id loc = t - u*TRI_W,
+    (rk, rc) = u*TILE_B + linear_to_pair(loc).  Tail-window slots whose rows
+    exceed the bucket count are invalid (masked here, clamped on device).
+    The packed-triangular STORAGE bijection (reference util/macros.h:13) is
+    unchanged — only the schedule geometry differs."""
+
+    edge: int
+    bucket: int
+    start: int  # first diag-subspace slot id
+    width: int  # padded slot count (multiple of the lane width)
+    sched: "Schedule" = dataclasses.field(repr=False)
+    _arr: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _pairs: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def Lc(self) -> int:
+        return self.edge
+
+    @property
+    def Lk(self) -> int:
+        return self.edge
+
+    def arrays(self) -> tuple:
+        """(orig_i, orig_j, l1, l2, valid) over all width slots."""
+        if self._arr is None:
+            sch = self.sched
+            ba = sch.buckets[self.bucket]
+            t = np.arange(self.start, self.start + self.width, dtype=np.int64)
+            u = t // TRI_W
+            loc = t - u * TRI_W
+            rk, rc = linear_to_pair(loc)  # local window triangle, rk < rc
+            rc = u * TILE_B + rc
+            rk = u * TILE_B + rk
+            nwin = -(-ba.count // TILE_B)
+            valid = (t < nwin * TRI_W) & (rc < ba.count)
+            rcc = np.minimum(rc, ba.count - 1)
+            rkk = np.minimum(rk, ba.count - 1)
+            ok = sch.order[ba.start + rkk]
+            oc = sch.order[ba.start + rcc]
+            oi = np.minimum(ok, oc).astype(np.int64)
+            oj = np.maximum(ok, oc).astype(np.int64)
+            l1 = sch.lengths_sorted[ba.start + rcc].astype(np.int32)
+            l2 = sch.lengths_sorted[ba.start + rkk].astype(np.int32)
+            self._arr = (oi, oj, l1, l2, valid)
+        return self._arr
+
+    orig_i = property(lambda self: self.arrays()[0])
+    orig_j = property(lambda self: self.arrays()[1])
+    l1 = property(lambda self: self.arrays()[2])
+    l2 = property(lambda self: self.arrays()[3])
+    valid = property(lambda self: self.arrays()[4])
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.arrays()[4].sum())
+
+    @property
+    def cells(self) -> int:
+        _, _, l1, l2, valid = self.arrays()
+        return int((l1.astype(np.int64) * l2)[valid].sum())
+
+    def select_valid(self, scores: np.ndarray) -> np.ndarray:
+        """Valid-slot scores (tail-window invalid slots are interspersed,
+        so selection is by mask, like TileBlock)."""
+        return scores[self.arrays()[4]]
+
+    def pairs(self) -> tuple[np.ndarray, np.ndarray, int]:
+        if self._pairs is None:
+            oi, oj, _, _, valid = self.arrays()
+            self._pairs = (oi[valid], oj[valid], self.cells)
+        return self._pairs
+
 
 @dataclasses.dataclass
 class TileBlock:
@@ -397,26 +482,52 @@ class Schedule:
     def tiles(self, a: int, b: int) -> Iterator[TileBlock]:
         """Lazy OUTER-PRODUCT tiles for combo (a <= b): for each TILE_B-lane
         window of bucket a's rows, TILE_S-row chunks of bucket b's rows.
-        Same-bucket combos start each window's c-rows AT the window (full
-        rectangles below the diagonal; the one diagonal tile per window is
-        half-masked — the kernel computes it fully and the host discards the
-        k >= c half).  Tiles with zero valid pairs are skipped."""
+        Same-bucket combos emit ONLY the fully-below-diagonal rectangles
+        (c-rows start at the NEXT window): the per-window diagonal triangles
+        — which a tile could only cover half-valid, ~12.5% discarded compute
+        at a 1k-sequence single-bucket space — are scheduled separately
+        through the per-pair path (diag_blocks).  Tiles with zero valid
+        pairs are skipped."""
         ba, bb = self.buckets[a], self.buckets[b]
         Lk, Lc = ba.edge, bb.edge
         same = a == b
         ntk = -(-ba.count // TILE_B)
         for kt in range(ntk):
             lanes = min(TILE_B, ba.count - kt * TILE_B)
-            c_lo = kt * TILE_B if same else 0
+            c_lo = (kt + 1) * TILE_B if same else 0
             for c0 in range(c_lo, bb.count, TILE_S):
-                if same:
-                    rows = np.arange(c0, min(c0 + TILE_S, bb.count))
-                    nv = int(np.clip(rows - kt * TILE_B, 0, lanes).sum())
-                else:
-                    nv = min(TILE_S, bb.count - c0) * lanes
+                nv = min(TILE_S, bb.count - c0) * lanes
                 if nv == 0:
                     continue
                 yield TileBlock(
                     Lc=Lc, Lk=Lk, bucket_c=b, bucket_k=a, c0=c0, kt=kt,
                     width=TILE_S * TILE_B, n_valid=nv, sched=self,
                 )
+
+    def diag_blocks(
+        self, a: int, width: int, tail_min: int | None = None,
+    ) -> Iterator["DiagBlock"]:
+        """The DIAGONAL remainder of same-bucket combo (a, a) under the tile
+        schedule: each TILE_B-row window's own triangle, enumerated in a
+        uniform per-window subspace of TRI_W = TILE_B*(TILE_B-1)/2 slot ids
+        (window u owns ids [u*TRI_W, (u+1)*TRI_W); tail windows carry
+        invalid tail slots, discarded by mask).  Dispatched through the
+        per-pair packed path with mode='diag' — near-zero padded compute
+        where a diagonal tile would discard half its slots."""
+        count = self.buckets[a].count
+        nwin = -(-count // TILE_B)
+        if count < 2:
+            return
+        total = nwin * TRI_W
+        s0 = 0
+        w = width
+        while s0 < total:
+            need = total - s0
+            if tail_min and need < w:
+                units = -(-need // tail_min)
+                w = min(w, tail_min << max(0, (units - 1).bit_length()))
+            yield DiagBlock(
+                edge=self.buckets[a].edge, bucket=a, start=s0, width=w,
+                sched=self,
+            )
+            s0 += w

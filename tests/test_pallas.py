@@ -314,9 +314,9 @@ def test_outer_tiles_match_oracle(algo, gaps, Lc, Lk, cc, kc):
 
 
 def test_outer_tile_schedule_covers_pair_space():
-    """Schedule.tiles covers every pair exactly once (valid slots), for both
-    cross-bucket rectangles and same-bucket triangles with masked diagonal
-    tiles."""
+    """Schedule.tiles + Schedule.diag_blocks cover every pair exactly once
+    (valid slots): cross-bucket rectangles, same-bucket below-diagonal
+    rectangles, and the per-window diagonal-remainder stream."""
     from sequencealigner_tpu.scheduler import Schedule
 
     rng = np.random.default_rng(3)
@@ -324,7 +324,10 @@ def test_outer_tile_schedule_covers_pair_space():
     sched = Schedule.build(lengths)
     seen = set()
     for a, b in sched.combos():
-        for blk in sched.tiles(a, b):
+        blocks = list(sched.tiles(a, b))
+        if a == b:
+            blocks += list(sched.diag_blocks(a, width=512, tail_min=128))
+        for blk in blocks:
             oi, oj, _ = blk.pairs()
             assert blk.select_valid(
                 np.arange(blk.width)
@@ -335,6 +338,26 @@ def test_outer_tile_schedule_covers_pair_space():
                 seen.add((int(i), int(j)))
     n = len(lengths)
     assert len(seen) == n * (n - 1) // 2
+
+
+def test_diag_blocks_high_valid_fraction():
+    """The VERDICT r4 bar: >= 97% of scheduled pair slots are valid at a
+    1024-row single-bucket space (the flagship shape) under the tile
+    schedule + diagonal remainder (was ~88% with half-masked diagonal
+    tiles)."""
+    from sequencealigner_tpu.scheduler import Schedule
+
+    lengths = np.full(1024, 64, np.int32)
+    sched = Schedule.build(lengths)
+    assert len(sched.buckets) == 1
+    slots = valid = 0
+    for blk in list(sched.tiles(0, 0)) + list(
+        sched.diag_blocks(0, width=65536, tail_min=128)
+    ):
+        slots += blk.width
+        valid += blk.n_valid
+    assert valid == 1024 * 1023 // 2
+    assert valid / slots >= 0.97, (valid, slots)
 
 
 def test_sw_zero_cell_no_gap_reopen():
