@@ -27,6 +27,7 @@ import functools
 import os
 import threading
 import time
+import zlib
 from functools import partial
 
 import jax
@@ -465,15 +466,21 @@ class Engine:
         """Identifier of the block-schedule geometry this engine will use
         for ``lengths`` — bound into checkpoint fingerprints, because journal
         entries are global block indices and only mean the same pairs under
-        the same schedule (outer-product tiles vs linear superblocks)."""
+        the same schedule (outer-product tiles vs linear superblocks).  The
+        suffix hashes the bucket boundaries, so ANY change to the bucketing
+        policy (across engine versions) invalidates old journals instead of
+        silently mis-mapping their block indices."""
         sched = Schedule.build(np.asarray(lengths))
+        geo = zlib.crc32(np.asarray(
+            [(b.edge, b.start, b.end) for b in sched.buckets], np.int64
+        ).tobytes())
         if self.use_pallas and self.outer and all(
             pallas_dp.supports(b.edge, b.edge) for b in sched.buckets
         ):
             # v2: same-bucket combos emit off-diagonal tiles + a diagonal
             # per-pair remainder stream (global indices shifted vs v1).
-            return "tiles-v2"
-        return "linear-v1"
+            return f"tiles-v2.{geo:08x}"
+        return f"linear-v1.{geo:08x}"
 
     def _put_rep(self, x):
         return jax.device_put(x, self._rep)
@@ -658,16 +665,15 @@ class Engine:
         off = 0
         while off < len(blks):
             rem = len(blks) - off
-            # Prefer ONE dispatch per group: round rem UP to the next power
-            # of two (dummy descriptors fill the tail) when the dummy-tile
-            # compute is <= ~25% of the dispatch; otherwise split at the
-            # largest power of two and recurse.  Each extra dispatch costs a
-            # host round trip (dominant on slow links; the pow2-only
-            # splitting measured 8 dispatches for a 3-combo 1k-protein run
-            # where 3 suffice), each dummy tile costs real device cells.
+            # ONE dispatch per group: round rem UP to the next power of two
+            # and fill the tail with dummy descriptors.  Dummy tiles point
+            # at the bucket's all-pad row (length 0), and the kernel's
+            # column truncation at the shared c-row length makes them cost
+            # ZERO DP columns — so padding is free, while each extra
+            # dispatch costs a host round trip (dominant on slow links: the
+            # pow2-only splitting measured 8 dispatches for a 3-combo
+            # 1k-protein run where 3 suffice).
             seg = 1 << (rem - 1).bit_length()
-            if (seg - rem) * 3 > rem:
-                seg = 1 << (rem.bit_length() - 1)
             part = blks[off : off + min(seg, rem)]
             off += len(part)
             T = max(seg, self.ndev)
@@ -691,6 +697,12 @@ class Engine:
                     algo=self.algo, Lc=Lc, Lk=Lk, int16_ok=int16_ok,
                     interpret=self.pallas_interpret,
                 )
+                if len(part) < T:
+                    # Drop the dummy tail ON DEVICE before the D2H copy:
+                    # dummy tiles cost ~zero compute (length-0 rows, column
+                    # truncation) but their score slots are real transfer
+                    # bytes on a ~45 MB/s tunneled link.
+                    dev = dev[: len(part)]
             with self._plock:
                 flat = dev.reshape(-1)
                 try:
@@ -780,6 +792,24 @@ class Engine:
                 claimed = {id(e): not e[2] for e in batch}
                 for e in batch:
                     e[2] = True
+            if store is None and merger is None and journal is None:
+                # Stats-only run (align_all(ss, None) — benchmarking, or a
+                # caller that doesn't keep scores): the scores still reach
+                # host memory (the fetch below is the align phase's real
+                # D2H), but nobody will consume per-pair (i, j) metadata,
+                # so skip materializing it; pair/cell counts come from the
+                # schedule (analytic for tile blocks).
+                tc = time.perf_counter()
+                for entry in batch:
+                    dev, blks, _ = entry
+                    np.asarray(dev)
+                    for _, blk in blks:
+                        stats.pairs += blk.n_valid
+                        stats.cells += blk.cells
+                        if bar and claimed[id(entry)]:
+                            bar.add(blk.n_valid)
+                mark("flush.fetch_wait", tc)
+                return
             # Materialize the blocks' lazy pair metadata WHILE the device
             # finishes and the per-dispatch D2H copies (started at enqueue,
             # see _dispatch) fly — on the flusher thread this work overlaps
@@ -1011,7 +1041,9 @@ class Engine:
                     if inflight >= FLUSH_PAIRS:
                         dispatch_tiles_group()
                         flush()
-                    elif merger is None and pending and not flusher:
+                    elif merger is None and pending and (
+                        not flusher or not flusher[0].is_alive()
+                    ):
                         # Eager overlap: the flusher is idle and dispatches
                         # are in flight — start fetching now so only the
                         # LAST dispatch's D2H wait lands after the loop
@@ -1066,7 +1098,9 @@ class Engine:
                         if inflight >= FLUSH_PAIRS:
                             dispatch_diag()
                             flush()
-                        elif merger is None and pending and not flusher:
+                        elif merger is None and pending and (
+                        not flusher or not flusher[0].is_alive()
+                    ):
                             flush()
                     dispatch_diag()
                 continue
@@ -1137,7 +1171,9 @@ class Engine:
                 if inflight >= FLUSH_PAIRS:
                     dispatch_group()
                     flush()
-                elif merger is None and pending and not flusher:
+                elif merger is None and pending and (
+                        not flusher or not flusher[0].is_alive()
+                    ):
                     flush()  # eager fetch overlap (see the tile path)
             dispatch_group()
         mark("schedule+dispatch", t0)

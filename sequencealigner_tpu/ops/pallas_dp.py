@@ -431,7 +431,14 @@ def _make_kernel(
             )
 
         def scan_max(v):
-            """Prefix max along band rows (axis 0)."""
+            """Prefix max along band rows (axis 0): flat Kogge-Stone,
+            log2(KB) roll+max+select steps (the select's mask is a constant,
+            folded by Mosaic).  A two-level variant (3 local steps + a
+            one-vreg scan of 8-row group totals + broadcast) was built and
+            measured 83 Gcell/s vs 136 flat at 64x64 GA: the
+            sublane-regrouping reshape and the group-prefix broadcast are
+            multi-op relayouts on TPU, costing more than the 9 full-band
+            ops they save."""
             for i in range(LOG):
                 sh = 1 << i
                 rolled = pltpu.roll(v, shift=np.int32(sh), axis=0)
@@ -565,6 +572,22 @@ def _make_kernel(
             def get_sd(i, w):
                 return sk_ref[0, i].astype(jnp.int32)
 
+        def capture(w, h, acc):
+            """NW/GA result capture: the (l2-1, l1-1) cell, accumulated so a
+            single end-of-grid sum yields the score.  In outer mode wstar is
+            a SCALAR (the tile's shared c-row length), so the two vector ops
+            run under a scalar-predicated cond — every column but one skips
+            them; per-pair modes keep the vector select (wstar varies per
+            lane)."""
+            if outer:
+                return jax.lax.cond(
+                    w == wstar,
+                    lambda a: a + jnp.where(khot, h, jnp.int32(0)),
+                    lambda a: a,
+                    acc,
+                )
+            return acc + jnp.where(khot & (w == wstar), h, jnp.int32(0))
+
         def step(i, ab, j, carry):
             w = c * CD + i  # 0-based column
             sd = get_sd(i, w)  # (KB, B)
@@ -579,7 +602,7 @@ def _make_kernel(
                 zl = jnp.maximum(m, hprev + gap)
                 z0 = jnp.where(k0mask, jnp.maximum(zl, h_ab + gap), zl)
                 h = scan_max(z0 - ramp) + ramp
-                acc = acc + jnp.where(khot & (w == wstar), h, jnp.int32(0))
+                acc = capture(w, h, acc)
                 prev[wp_par, 0, pl.ds(w + 1, 1)] = h[KB - 1 : KB]
                 return (h, xprev, acc)
             x = jnp.maximum(hprev + opn, xprev + ext)
@@ -596,7 +619,7 @@ def _make_kernel(
                 h = jnp.maximum(h, jnp.int32(0))
                 acc = jnp.maximum(acc, h)
             else:
-                acc = acc + jnp.where(khot & (w == wstar), h, jnp.int32(0))
+                acc = capture(w, h, acc)
             prev[wp_par, 0, pl.ds(w + 1, 1)] = h[KB - 1 : KB]
             prev[wp_par, 1, pl.ds(w + 1, 1)] = y[KB - 1 : KB]
             return (h, x, acc)
@@ -613,9 +636,23 @@ def _make_kernel(
             return carry
 
         carry0 = (state[0], state[1], state[2])
-        carry = jax.lax.fori_loop(  # int32 bounds: int64 cannot lower in Mosaic
-            jnp.int32(0), jnp.int32(CD // 8), step8, carry0
-        )
+        if outer:
+            # Column truncation at the tile's SHARED c-row length (an SMEM
+            # scalar): columns beyond wstar are pad for EVERY lane of every
+            # band of this (t, s) problem, contribute to no capture (NW/GA
+            # capture at w == wstar; SW pad columns only decay, see module
+            # notes), and the bound is identical across bands so the prev
+            # stream is consistently written exactly where it is read.
+            # Sorted buckets make this a large real-cell win (a 24-64-length
+            # bucket pads to W = 64: ~30% of all padded columns skipped),
+            # and dummy descriptor rows (length 0) cost ZERO columns — which
+            # is what lets the engine pad tile groups to one dispatch.
+            nst = jnp.clip((wstar + 1 - c * CD + 7) // 8, 0, CD // 8)
+            carry = jax.lax.fori_loop(jnp.int32(0), nst, step8, carry0)
+        else:
+            carry = jax.lax.fori_loop(  # int32 bounds: int64 can't lower in Mosaic
+                jnp.int32(0), jnp.int32(CD // 8), step8, carry0
+            )
         for idx in range(3):
             state[idx] = carry[idx]
 

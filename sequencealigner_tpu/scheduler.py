@@ -235,6 +235,9 @@ class DiagBlock:
     _pairs: tuple | None = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    _nv: int | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def Lc(self) -> int:
@@ -276,7 +279,25 @@ class DiagBlock:
 
     @property
     def n_valid(self) -> int:
-        return int(self.arrays()[4].sum())
+        """Analytic (no 16k-slot array materialization — this is read on the
+        MAIN thread during scheduling): slot t of window u is valid iff its
+        local triangle id < tri(m_u), m_u = clip(count - u*TILE_B, 0, TILE_B)
+        — j(loc) is nondecreasing in loc, so validity is a prefix."""
+        if self._nv is None:
+            count = self.sched.buckets[self.bucket].count
+            lo, hi = self.start, self.start + self.width
+            total = 0
+            for u in range(lo // TRI_W, (hi - 1) // TRI_W + 1):
+                m = min(TILE_B, count - u * TILE_B)
+                if m < 2:
+                    continue
+                tri = m * (m - 1) // 2
+                a = max(lo - u * TRI_W, 0)
+                b = min(hi - u * TRI_W, TRI_W)
+                if a < tri:
+                    total += min(b, tri) - a
+            self._nv = total
+        return self._nv
 
     @property
     def cells(self) -> int:
@@ -330,11 +351,15 @@ class TileBlock:
         return (self.c0, self.kt)
 
     def arrays(self) -> tuple:
-        """(orig_i, orig_j, l1, l2, valid) over all width slots."""
+        """(orig_i, orig_j, l1, l2, valid) over all width slots.  Interior
+        tiles (n_valid == width: no tail rows/lanes, no diagonal constraint
+        — the vast majority at scale) skip the mask arithmetic; valid is
+        None for them and every slot is a pair."""
         if self._arr is None:
             sch = self.sched
             ba = sch.buckets[self.bucket_k]
             bb = sch.buckets[self.bucket_c]
+            full = self.n_valid == self.width
             rc = np.repeat(
                 np.arange(self.c0, self.c0 + TILE_S, dtype=np.int64), TILE_B
             )
@@ -343,11 +368,15 @@ class TileBlock:
                           dtype=np.int64),
                 TILE_S,
             )
-            valid = (rc < bb.count) & (rk < ba.count)
-            if self.bucket_k == self.bucket_c:
-                valid &= rk < rc
-            rcc = np.minimum(rc, bb.count - 1)
-            rkk = np.minimum(rk, ba.count - 1)
+            if full:
+                valid = None
+                rcc, rkk = rc, rk
+            else:
+                valid = (rc < bb.count) & (rk < ba.count)
+                if self.bucket_k == self.bucket_c:
+                    valid &= rk < rc
+                rcc = np.minimum(rc, bb.count - 1)
+                rkk = np.minimum(rk, ba.count - 1)
             ok = sch.order[ba.start + rkk]
             oc = sch.order[bb.start + rcc]
             oi = np.minimum(ok, oc).astype(np.int64)
@@ -361,24 +390,46 @@ class TileBlock:
     orig_j = property(lambda self: self.arrays()[1])
     l1 = property(lambda self: self.arrays()[2])
     l2 = property(lambda self: self.arrays()[3])
-    valid = property(lambda self: self.arrays()[4])
+
+    @property
+    def valid(self):
+        v = self.arrays()[4]
+        return slice(None) if v is None else v
 
     @property
     def cells(self) -> int:
-        _, _, l1, l2, valid = self.arrays()
-        return int((l1.astype(np.int64) * l2)[valid].sum())
+        """Analytic true-cell count: tiles-v2 rectangles have no diagonal
+        masking (same-bucket tiles start at the NEXT window), so cells =
+        (sum of c-side lengths) x (sum of k-side lengths) over the clipped
+        row/lane ranges — two prefix-sum lookups, no slot arrays."""
+        sch = self.sched
+        ba = sch.buckets[self.bucket_k]
+        bb = sch.buckets[self.bucket_c]
+        ps = sch.length_psums()
+        pc, pk = ps[self.bucket_c], ps[self.bucket_k]
+        chi = min(self.c0 + TILE_S, bb.count)
+        klo = self.kt * TILE_B
+        khi = min(klo + TILE_B, ba.count)
+        if chi <= self.c0 or khi <= klo:
+            return 0
+        return int((pc[chi] - pc[self.c0]) * (pk[khi] - pk[klo]))
 
     def select_valid(self, scores: np.ndarray) -> np.ndarray:
         """Valid-pair scores of a tile: selected by the mask (tail rows and
         lanes past the bucket counts, and the k >= c half of same-bucket
-        diagonal tiles, are computed by the kernel but discarded here)."""
-        return scores[self.arrays()[4]]
+        diagonal tiles, are computed by the kernel but discarded here);
+        interior tiles pass through unsliced."""
+        v = self.arrays()[4]
+        return scores if v is None else scores[v]
 
     def pairs(self) -> tuple[np.ndarray, np.ndarray, int]:
         """(orig_i, orig_j, cells) over the VALID slots only."""
         if self._pairs is None:
             oi, oj, _, _, valid = self.arrays()
-            self._pairs = (oi[valid], oj[valid], self.cells)
+            if valid is None:
+                self._pairs = (oi, oj, self.cells)
+            else:
+                self._pairs = (oi[valid], oj[valid], self.cells)
         return self._pairs
 
 
@@ -387,6 +438,25 @@ class Schedule:
     order: np.ndarray  # sorted-by-length permutation: order[s] = original index
     buckets: list[Bucket]
     lengths_sorted: np.ndarray
+    _psums: list | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def length_psums(self) -> list:
+        """Per-bucket prefix sums of sorted lengths (int64): psums[b][r] =
+        sum of the first r lengths of bucket b — O(1) analytic cell counts
+        for tile blocks."""
+        if self._psums is None:
+            self._psums = [
+                np.concatenate((
+                    [0],
+                    np.cumsum(
+                        self.lengths_sorted[b.start : b.end], dtype=np.int64
+                    ),
+                ))
+                for b in self.buckets
+            ]
+        return self._psums
 
     @classmethod
     def build(cls, lengths: np.ndarray, edges=DEFAULT_EDGES) -> "Schedule":
@@ -404,11 +474,19 @@ class Schedule:
         # Merge tiny buckets upward: every bucket multiplies the combo count
         # (hence dispatches and compiled shapes), and a handful of sequences
         # in their own bucket cost more in per-combo overhead than their
-        # extra padding in the next bucket does.
+        # extra padding in the next bucket does.  Beyond the hard floor, a
+        # bucket under two tile windows merges whenever the next edge is at
+        # most 2x its own: the outer kernel truncates DP columns at the true
+        # c-row length, so the merge penalty is only the k-side band
+        # padding on the merged rows (bounded by the edge ratio), while the
+        # saved combo row costs real dispatches on every run.
         min_count = max(64, len(order) // 64)
         merged: list[Bucket] = []
         for b in buckets:
-            if merged and merged[-1].count < min_count:
+            if merged and (
+                merged[-1].count < min_count
+                or (merged[-1].count < 256 and b.edge <= 2 * merged[-1].edge)
+            ):
                 prev = merged.pop()
                 b = Bucket(edge=b.edge, start=prev.start, end=b.end)
             merged.append(b)

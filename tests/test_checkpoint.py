@@ -271,7 +271,7 @@ def test_tile_schedule_kill_resume(tmp_path, monkeypatch):
         use_pallas=True, pallas_interpret=True,
     )
     token = eng.schedule_token(ss.lengths)
-    assert token == "tiles-v2"
+    assert token.startswith("tiles-v2")
     header = ckpt.config_fingerprint(
         algo="ga", gaps=gaps, matrix="blosum62", num_seqs=ss.num,
         lengths=ss.lengths, triangular=True, schedule=token,

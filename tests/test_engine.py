@@ -387,16 +387,18 @@ def test_engine_outer_tiles_match_oracle(algo, gaps):
     one run — the bucket of 140 rows spans two 128-row tile windows.
     (VERDICT r4 weak 2: engine-level outer coverage was GA-only.)"""
     rng = np.random.default_rng(21)
+    # Two buckets that survive the small-bucket merge policy (edge ratio
+    # 64/16 > 2): cross-bucket rectangles AND same-bucket diagonals run.
     seqs = [
         rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), int(ln)).astype(np.uint8)
-        for ln in np.r_[rng.integers(18, 25, 140), rng.integers(50, 65, 70)]
+        for ln in np.r_[rng.integers(10, 17, 140), rng.integers(50, 65, 70)]
     ]
     ss = SequenceSet.from_list(seqs, M.lut)
     eng = Engine(
         algo, M.matrix, gaps, device_kind="cpu",
         use_pallas=True, pallas_interpret=True,
     )
-    assert eng.schedule_token(ss.lengths) == "tiles-v2"
+    assert eng.schedule_token(ss.lengths).startswith("tiles-v2")
     store = OutputStore(ss.num, triangular=False, spill=False)
     stats = eng.align_all(ss, store, progress=False)
     assert stats.pairs == ss.num * (ss.num - 1) // 2
