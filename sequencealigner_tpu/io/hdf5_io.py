@@ -95,6 +95,22 @@ def write(
         if chunk_rows > ram_rows > 4:
             chunk_rows = ram_rows
         bar = ui.Progress(lim, "Converting to HDF5") if progress else None
+        if store.pos is not None:
+            # Sorted-coordinate spill layout: stream the packed triangle in
+            # SORTED windows (two sequential passes total — see
+            # OutputStore.rows_sorted_window) and write each window's rows
+            # at their original-index positions.  max_rows (benchmarking)
+            # bounds the number of sorted rows converted.
+            w = min(max(chunk_rows, 256), max(ram_rows, 4), 4096)
+            for off in range(0, lim, w):
+                end = min(off + w, lim)
+                targets, block = store.rows_sorted_window(off, end)
+                dset[targets] = block
+                if bar:
+                    bar.add(end - off)
+            if bar:
+                bar.end()
+            return
         for off in range(0, lim, chunk_rows):
             end = min(off + chunk_rows, lim)
             dset[off:end, :] = store.rows(off, end)
