@@ -124,7 +124,10 @@ _WORKER = textwrap.dedent("""
     ss = SequenceSet.from_list(seqs, M.lut)
     part = RowPartition(ss.num, nhosts)
     addrs = [("127.0.0.1", port0), ("127.0.0.1", port1)]
-    router = TripletRouter(host, nhosts, part, addrs)
+    # Generous connect deadline: both workers import jax/numpy on what may
+    # be ONE loaded core, so peer listeners can lag minutes behind under a
+    # full parallel test run (the 60 s default flaked there once).
+    router = TripletRouter(host, nhosts, part, addrs, connect_timeout=600.0)
     lo, hi = part.rows_of(host)
     store = ShardStore(ss.num, lo, hi)
     eng = Engine("ga", M.matrix, (0, -10, -1), device_kind="cpu",
