@@ -115,8 +115,14 @@ def measure_stripes(n: int, procs=(1, 2, 4, 8)):
     for P in procs:
         walls, pairs = [], []
         for k in range(P):
+            # Warm this partition's executable set first: stripe widths/tail
+            # groups differ per (k, P), and first-run compiles (persistent-
+            # cached thereafter) are a one-time cost a deployment pays once,
+            # not a per-stripe cost — without this, one cold 3 s compile
+            # poisoned a 90 ms stripe wall.
+            eng.align_all(ss, None, progress=False, partition=(k, P))
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 st = eng.align_all(ss, None, progress=False,
                                    partition=(k, P))
